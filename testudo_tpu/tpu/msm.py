@@ -1,0 +1,259 @@
+"""Multi-scalar multiplication (Pippenger) for TPU.
+
+Replaces ark-ec VariableBaseMSM (SURVEY.md §2.3) with a fully vectorized
+design — the reference's hot MSMs are the sqrt-PST column commitments
+(sqrt_pst.rs:124), the U-fold (sqrt_pst.rs:198), MIPP cross-commitments
+(mipp.rs:77-85) and Groth16's proving MSMs.
+
+Algorithm (per c-bit window):
+  1. digits = window slice of each (canonical-form) scalar;
+  2. sort point indices by digit (XLA sort — no data-dependent control
+     flow, batch-parallel);
+  3. bucket accumulation: run-aligned gather loop — step t adds the t-th
+     point of every bucket's run simultaneously (one complete EC add over
+     all 2^c buckets per step).  Bucket loads concentrate around N/2^c, so
+     a lax.while_loop on the true max run length does ~(N/2^c + tail)
+     vectorized steps;
+  4. weighted bucket reduction sum_j j*B_j via a grouped suffix scan
+     (lax.scan), a shared double-and-add chain for the group offsets, and a
+     two-stage loop reduction — everything stays wide on the VPU.
+Window results are combined host-side with a Horner chain (c doublings per
+window, O(bits) tiny host ops).
+
+G1 and G2 share one implementation: points are pytrees (G1: 3 limb arrays;
+G2: 3 pairs of limb arrays) and the group law comes from tpu.curve's
+complete RCB16 formulas, so every lane runs identical straight-line code.
+
+Sharding: for multi-chip MSM the point/scalar arrays are sharded along the
+batch axis; each chip runs steps 1-3 on its shard and the (W, nbuckets)
+bucket partials are psum-folded before step 4 (see parallel/).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.bls12_377 import R
+from . import cache as _cache  # noqa: F401  (enables persistent compile cache)
+from . import curve as jc
+from .field import FR
+
+tree_map = jax.tree_util.tree_map
+
+
+class _G1:
+    add = staticmethod(jc.g1_add)
+    double = staticmethod(jc.g1_double)
+    neg = staticmethod(jc.g1_neg)
+    select = staticmethod(jc.g1_select)
+    identity = staticmethod(jc.g1_identity)
+
+
+class _G2:
+    add = staticmethod(jc.g2_add)
+    double = staticmethod(jc.g2_double)
+    neg = staticmethod(jc.g2_neg)
+    select = staticmethod(jc.g2_select)
+    identity = staticmethod(jc.g2_identity)
+
+
+def _pick_window(n: int) -> int:
+    if n <= 1 << 6:
+        return 4
+    if n <= 1 << 12:
+        return 8
+    return 16
+
+
+def _digits_from_scalars(scalars_canon: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(N, 16) canonical Fr limbs -> (W, N) int32 digit matrix."""
+    nbits = 16 * FR.nlimbs
+    w = nbits // c
+    limbs = scalars_canon.astype(jnp.int32)
+    outs = []
+    per = 16 // c  # digits per limb (c in {4, 8, 16})
+    for wi in range(w):
+        limb_idx = wi // per
+        shift = (wi % per) * c
+        outs.append((limbs[:, limb_idx] >> shift) & ((1 << c) - 1))
+    return jnp.stack(outs, axis=0)
+
+
+def _bucket_accumulate(G, points, dig: jnp.ndarray, nbuckets: int):
+    """Sort-by-digit then run-aligned accumulation into per-bucket sums."""
+    n = dig.shape[0]
+    order = jnp.argsort(dig)
+    sd = dig[order]
+    pts = tree_map(lambda coord: coord[order], points)
+    rng = jnp.arange(nbuckets, dtype=sd.dtype)
+    starts = jnp.searchsorted(sd, rng)
+    ends = jnp.searchsorted(sd, rng, side="right")
+    counts = (ends - starts).at[0].set(0)  # bucket 0 has weight 0: skip
+    max_run = jnp.max(counts)
+    lane = jnp.arange(nbuckets)
+
+    def cond(state):
+        t, _ = state
+        return t < max_run
+
+    def body(state):
+        t, acc = state
+        idx = jnp.clip(starts + t, 0, n - 1)
+        pt = tree_map(lambda coord: coord[idx], pts)
+        valid = (t < counts) & (lane > 0)
+        acc = G.select(valid, G.add(acc, pt), acc)
+        return t + 1, acc
+
+    _, buckets = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), G.identity((nbuckets,)))
+    )
+    return buckets
+
+
+def _weighted_bucket_sum(G, buckets, c: int):
+    """sum_{j=1}^{2^c-1} j * B_j with grouped suffix scans (all loop-based).
+
+    Buckets reshape to (groups, h).  A lax.scan over local index l = h-1..0
+    maintains run_g = suffix sum and tot_g = sum_l (l+1) B_{g,l}; then
+      sum_j j B_j = sum_g [ g*h*U_g + tot_g - U_g ],   U_g = run_g.
+    The g*h*U_g terms share one double-and-add chain over the bits of g*h.
+    """
+    nbuckets = 1 << c
+    h = min(nbuckets, 32)
+    groups = nbuckets // h
+    bg = tree_map(lambda coord: coord.reshape(groups, h, *coord.shape[1:]), buckets)
+    # (h, groups, ...) with l reversed so scan goes h-1 .. 0
+    xs = tree_map(lambda coord: jnp.flip(coord, axis=1).swapaxes(0, 1), bg)
+
+    def scan_body(carry, bl):
+        run, tot = carry
+        run = G.add(run, bl)
+        tot = G.add(tot, run)
+        return (run, tot), 0
+
+    (run, tot), _ = jax.lax.scan(
+        scan_body, (G.identity((groups,)), G.identity((groups,))), xs
+    )
+
+    # acc_g = (g*h) * U_g via shared double chain
+    weights = jnp.asarray([g * h for g in range(groups)], dtype=jnp.uint32)
+    maxbits = max(1, (max((groups - 1) * h, 1)).bit_length())
+
+    def chain_body(bit, state):
+        acc, addend = state
+        sel = ((weights >> bit) & 1) == 1
+        acc = G.select(sel, G.add(acc, addend), acc)
+        return acc, G.double(addend)
+
+    acc, _ = jax.lax.fori_loop(
+        0, maxbits, chain_body, (G.identity((groups,)), run)
+    )
+    res = G.add(G.add(acc, tot), G.neg(run))  # per-group totals
+
+    # two-stage loop reduction over groups (keeps HLO small)
+    if groups > 32:
+        inner = groups // 32
+        res2 = tree_map(lambda coord: coord.reshape(32, inner, *coord.shape[1:]), res)
+
+        def red_body(i, acc):
+            sl = tree_map(lambda coord: coord[:, i], res2)
+            return G.add(acc, sl)
+
+        res = jax.lax.fori_loop(1, inner, red_body, tree_map(lambda coord: coord[:, 0], res2))
+        groups_left = 32
+    else:
+        groups_left = groups
+
+    def red2_body(i, acc):
+        sl = tree_map(lambda coord: coord[i], res)
+        return G.add(acc, sl)
+
+    first = tree_map(lambda coord: coord[0], res)
+    return jax.lax.fori_loop(1, groups_left, red2_body, first)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _msm_windows(group_name: str, points, scalars_canon: jnp.ndarray, c: int):
+    G = _G1 if group_name == "g1" else _G2
+    digits = _digits_from_scalars(scalars_canon, c)  # (W, N)
+    nbuckets = 1 << c
+
+    def one_window(dig):
+        buckets = _bucket_accumulate(G, points, dig, nbuckets)
+        return _weighted_bucket_sum(G, buckets, c)
+
+    return jax.lax.map(one_window, digits)
+
+
+def _combine_windows_host(windows, c: int, group: str):
+    """Horner-combine per-window sums on the host (O(bits) tiny muls)."""
+    from ..curves import host_curve as hc
+
+    if group == "g1":
+        pts = jc.g1_to_affine_host(windows)
+        add = hc.g1_add
+    else:
+        pts = jc.g2_to_affine_host(windows)
+        add = hc.g2_add
+    acc = None
+    for pt in reversed(pts):
+        if acc is not None:
+            for _ in range(c):
+                acc = add(acc, acc)
+        acc = add(acc, pt)
+    return acc
+
+
+def _prep_scalars(scalars) -> jnp.ndarray:
+    if isinstance(scalars, (list, tuple)):
+        return jnp.asarray(FR.to_limbs([s % R for s in scalars]))
+    return scalars
+
+
+def _pad_pow2(points, scal: jnp.ndarray):
+    """Pad batch to the next power of two (bounds jit-shape variety).
+
+    Padding scalars are 0, so the extra lanes land in bucket 0, which has
+    weight zero and is skipped by the accumulation loop.
+    """
+    n = scal.shape[0]
+    target = 1 << max(1, (n - 1).bit_length())
+    if target == n:
+        return points, scal
+    padn = target - n
+    scal = jnp.concatenate(
+        [scal, jnp.zeros((padn, scal.shape[1]), scal.dtype)], axis=0
+    )
+    points = tree_map(
+        lambda coord: jnp.concatenate(
+            [coord, jnp.zeros((padn,) + coord.shape[1:], coord.dtype)], axis=0
+        ),
+        points,
+    )
+    return points, scal
+
+
+def msm_g1(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
+    """MSM over G1: device projective point pytree x scalars -> host affine.
+
+    `scalars` are host ints or canonical-form (non-Montgomery) Fr limbs.
+    """
+    scal = _prep_scalars(scalars)
+    if c is None:
+        c = _pick_window(scal.shape[0])
+    points, scal = _pad_pow2(points, scal)
+    windows = _msm_windows("g1", points, scal, c)
+    return _combine_windows_host(windows, c, "g1")
+
+
+def msm_g2(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
+    scal = _prep_scalars(scalars)
+    if c is None:
+        c = _pick_window(scal.shape[0])
+    points, scal = _pad_pow2(points, scal)
+    windows = _msm_windows("g2", points, scal, c)
+    return _combine_windows_host(windows, c, "g2")
