@@ -1,11 +1,13 @@
-"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+"""Test configuration.
 
-Sharded/multi-chip paths are validated on host CPU devices; the real TPU is
-exercised by bench.py and the driver's compile checks.
+Tests run on the default JAX backend (the axon TPU in this environment —
+its remote compile service is much faster than local 2-core LLVM; plain
+CPU elsewhere).  An 8-device virtual CPU platform is always registered so
+sharding tests can build a Mesh from jax.devices("cpu") regardless of the
+accelerator.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,9 +1,6 @@
 """Device (JAX) field/curve/MSM kernels vs host ground truth."""
 import random
 
-import jax
-
-jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np

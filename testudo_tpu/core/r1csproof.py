@@ -1,0 +1,248 @@
+"""Spartan R1CS satisfiability proof (two-phase sumcheck + sqrt-PST).
+
+TPU-native counterpart of /root/reference/src/r1csproof.rs.  The prover
+flow mirrors R1CSProof::prove (r1csproof.rs:237-370) exactly:
+
+  commit witness (sqrt-PST)  -> absorb T           (:255-257)
+  initial_state challenge + transcript re-key      (:261-262)
+  absorb inputs                                    (:264)
+  z = vars || 1 || inputs || 0-pad                 (:269-277)
+  tau challenges, phase-1 cubic sumcheck           (:281-299)
+  r_A/r_B/r_C, ABC eval table, phase-2 quad        (:311-336)
+  transcript_sat_state checkpoint + re-key         (:338-339)
+  sqrt-PST open at ry[1..]                         (:343-344)
+
+`verify_native` implements the full native verification with the PST+MIPP
+opening check ENABLED — the coherent upstream semantics; the snapshot's
+R1CSVerifierProof::verify has this check commented out and returns Ok(true)
+(r1csproof.rs:465-485), which we deliberately do NOT reproduce.  The
+Groth16-compressed verifier lives in core/snark.py.
+
+The transcript may be an Fr sponge (upstream TestudoSNARK/NIZK pipeline) or
+an Fq sponge (the snapshot's fork state, r1csproof.rs:242); both encodings
+are supported by poseidon.transcript.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..fields.bls12_377 import R
+from ..fields.host import Fq12
+from ..poly import dense
+from ..poly.unipoly import UniPoly
+from ..tpu import field as jf
+from ..tpu.field import FR
+from . import pst, sqrt_pst, sumcheck
+from .mipp import MippProof
+from .r1cs import R1CSInstance
+
+
+@dataclass
+class R1CSProof:
+    comm_U: object  # host affine G1 (the opening commitment U)
+    sc_proof_phase1: sumcheck.SumcheckInstanceProof
+    claims_phase2: Tuple[int, int, int, int]  # Az, Bz, Cz, Az*Bz
+    sc_proof_phase2: sumcheck.SumcheckInstanceProof
+    eval_vars_at_ry: int
+    proof_eval_vars_at_ry: List  # PST proofs
+    rx: List[int]
+    ry: List[int]
+    transcript_sat_state: int
+    initial_state: int
+    t: Fq12
+    mipp_proof: MippProof
+
+
+@dataclass
+class R1CSGens:
+    ck: pst.CommitterKey
+    vk: pst.VerifierKey
+
+    @staticmethod
+    def setup(num_vars: int) -> "R1CSGens":
+        """PolyCommitmentGens::setup equivalent: SRS over num_vars/2 + odd
+        variables (dense_mlpoly.rs:185-198)."""
+        nv = num_vars.bit_length() - 1
+        ck, vk = pst.setup(nv // 2 + (nv % 2))
+        return R1CSGens(ck, vk)
+
+
+def prove(
+    inst: R1CSInstance,
+    vars_: List[int],
+    inputs: List[int],
+    gens: R1CSGens,
+    transcript,
+) -> Tuple[R1CSProof, List[int], List[int]]:
+    assert len(inputs) < len(vars_)
+
+    vars_table = dense.encode_table(vars_)
+    pl = sqrt_pst.Polynomial.from_evaluations(vars_table)
+    comm_dev, t = pl.commit(gens.ck)
+    transcript.append_gt(t)
+
+    initial_state = transcript.challenge_scalar(R)
+    # Re-key with a single-element absorb (new_from_state) — the semantics
+    # the verifier circuit replays (constraints.rs:35-41).  The snapshot's
+    # r1csproof.rs:262 uses the byte-serialized variant (new_from_state2),
+    # one of the fork's internal inconsistencies; we resolve toward the
+    # circuit-coherent upstream behavior.
+    transcript.new_from_state(initial_state)
+    transcript.append_scalar_vector(inputs, R)
+
+    z = inst.z_vector(vars_, inputs)
+    z_dev = dense.encode_table(z)
+
+    num_rounds_x = inst.num_cons.bit_length() - 1
+    num_rounds_y = len(z).bit_length() - 1
+
+    tau = transcript.challenge_scalar_vec(R, num_rounds_x)
+    poly_tau = dense.eq_evals(tau)
+    poly_Az, poly_Bz, poly_Cz = inst.multiply_vec_dev(z_dev)
+
+    sc1, rx, claims1 = sumcheck.prove_cubic_with_additive_term(
+        0, num_rounds_x, poly_tau, poly_Az, poly_Bz, poly_Cz, transcript
+    )
+    _tau_claim, Az_claim, Bz_claim, Cz_claim = claims1
+    prod_Az_Bz = Az_claim * Bz_claim % R
+
+    r_A = transcript.challenge_scalar(R)
+    r_B = transcript.challenge_scalar(R)
+    r_C = transcript.challenge_scalar(R)
+    claim_phase2 = (r_A * Az_claim + r_B * Bz_claim + r_C * Cz_claim) % R
+
+    evals_rx = dense.eq_evals(rx)
+    eA, eB, eC = inst.compute_eval_table_sparse(evals_rx, len(z))
+    rA_d, rB_d, rC_d = (
+        dense.encode_scalar(r_A),
+        dense.encode_scalar(r_B),
+        dense.encode_scalar(r_C),
+    )
+    evals_ABC = jf.add(
+        FR,
+        jf.add(
+            FR,
+            jf.mont_mul(FR, eA, rA_d),
+            jf.mont_mul(FR, eB, rB_d),
+        ),
+        jf.mont_mul(FR, eC, rC_d),
+    )
+
+    sc2, ry, _claims2 = sumcheck.prove_quad(
+        claim_phase2, num_rounds_y, z_dev, evals_ABC, transcript
+    )
+
+    transcript_sat_state = transcript.challenge_scalar(R)
+    transcript.new_from_state(transcript_sat_state)
+
+    comm_U, pst_proof, mipp_proof = pl.open(
+        transcript, comm_dev, gens.ck, ry[1:], t
+    )
+    eval_vars_at_ry = pl.eval(ry[1:])
+
+    proof = R1CSProof(
+        comm_U=comm_U,
+        sc_proof_phase1=sc1,
+        claims_phase2=(Az_claim, Bz_claim, Cz_claim, prod_Az_Bz),
+        sc_proof_phase2=sc2,
+        eval_vars_at_ry=eval_vars_at_ry,
+        proof_eval_vars_at_ry=pst_proof,
+        rx=rx,
+        ry=ry,
+        transcript_sat_state=transcript_sat_state,
+        initial_state=initial_state,
+        t=t,
+        mipp_proof=mipp_proof,
+    )
+    return proof, rx, ry
+
+
+def _sparse_input_poly_eval(inputs: List[int], ry_rest: List[int], num_vars_log: int) -> int:
+    """Evaluate the sparse input polynomial (const 1 at index 0, inputs at
+    1..) at ry[1:] (r1csproof.rs:390-398, constraints.rs:144-215)."""
+    entries = [(0, 1)] + [(i + 1, v) for i, v in enumerate(inputs)]
+    acc = 0
+    for idx, v in enumerate(entries):
+        i, val = v
+        chi = 1
+        for j in range(num_vars_log):
+            bit = (i >> (num_vars_log - j - 1)) & 1
+            chi = chi * (ry_rest[j] if bit else (1 - ry_rest[j])) % R
+        acc = (acc + val * chi) % R
+    return acc
+
+
+def verify_native(
+    proof: R1CSProof,
+    inst_evals: Tuple[int, int, int],
+    num_cons: int,
+    num_vars: int,
+    inputs: List[int],
+    gens: R1CSGens,
+    transcript,
+) -> bool:
+    """Full native verification: transcript replay of both sumcheck phases,
+    the final Z(ry) identity, and the sqrt-PST/MIPP opening check
+    (the protocol checks that R1CSVerificationCircuit + Polynomial::verify
+    perform; constraints.rs:262-397 and sqrt_pst.rs:232-264)."""
+    transcript.append_gt(proof.t)
+    initial_state = transcript.challenge_scalar(R)
+    if initial_state != proof.initial_state:
+        return False
+    transcript.new_from_state(initial_state)
+    transcript.append_scalar_vector(inputs, R)
+
+    num_rounds_x = num_cons.bit_length() - 1
+    num_rounds_y = (2 * num_vars).bit_length() - 1
+
+    tau = transcript.challenge_scalar_vec(R, num_rounds_x)
+
+    # phase 1: claim 0, degree 3
+    e1, rx = proof.sc_proof_phase1.verify(0, num_rounds_x, 3, transcript)
+    if rx != proof.rx:
+        return False
+    Az, Bz, Cz, prod = proof.claims_phase2
+    if prod != Az * Bz % R:
+        return False
+    taus_bound_rx = dense.eq_evaluate(tau, rx)
+    if (Az * Bz - Cz) % R * taus_bound_rx % R != e1 % R:
+        return False
+
+    r_A = transcript.challenge_scalar(R)
+    r_B = transcript.challenge_scalar(R)
+    r_C = transcript.challenge_scalar(R)
+    claim_phase2 = (r_A * Az + r_B * Bz + r_C * Cz) % R
+
+    e2, ry = proof.sc_proof_phase2.verify(
+        claim_phase2, num_rounds_y, 2, transcript
+    )
+    if ry != proof.ry:
+        return False
+
+    # Z~(ry) = (1 - ry0) * eval_vars + ry0 * input_poly(ry[1:])
+    nv_log = num_vars.bit_length() - 1
+    input_eval = _sparse_input_poly_eval(inputs, ry[1:], nv_log)
+    z_eval = ((1 - ry[0]) * proof.eval_vars_at_ry + ry[0] * input_eval) % R
+    Ar, Br, Cr = inst_evals
+    if (r_A * Ar + r_B * Br + r_C * Cr) % R * z_eval % R != e2 % R:
+        return False
+
+    sat_state = transcript.challenge_scalar(R)
+    if sat_state != proof.transcript_sat_state:
+        return False
+    transcript.new_from_state(sat_state)
+
+    # sqrt-PST / MIPP opening check (ENABLED, unlike the gutted fork verify)
+    return sqrt_pst.verify(
+        transcript,
+        gens.vk,
+        proof.comm_U,
+        proof.ry[1:],
+        proof.eval_vars_at_ry,
+        proof.proof_eval_vars_at_ry,
+        proof.mipp_proof,
+        proof.t,
+    )

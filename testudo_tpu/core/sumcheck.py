@@ -1,0 +1,255 @@
+"""Sumcheck protocol: vectorized provers + host verifier.
+
+TPU-native counterpart of /root/reference/src/sumcheck.rs.  Each round's
+inner loop (evaluations at X = 0, 2, 3 over the half-table) is one
+vectorized device computation followed by a 3-4 element host transfer; the
+round loop itself is sequential by Fiat-Shamir necessity.  Tables halve via
+poly.dense.bound_top, exactly mirroring the reference's
+bound_poly_var_top-based folding.
+
+Transcript behavior matches the reference:
+  - prove_cubic_with_additive_term / prove_quad absorb every round
+    polynomial coefficient with append_scalar (sumcheck.rs:127-129,
+    423-425) and squeeze one challenge per round; they work with either an
+    Fr- or Fq-sponge transcript (the snapshot threads an Fq transcript,
+    r1csproof.rs:242; the upstream SNARK pipeline an Fr one).
+  - prove_cubic (Spark/product-tree path) uses the same coefficient
+    encoding (unipoly.rs:101-109).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.bls12_377 import R
+from ..poly import dense
+from ..poly.unipoly import UniPoly
+from ..tpu import field as jf
+from ..tpu.field import FR
+
+
+@dataclass
+class SumcheckInstanceProof:
+    polys: List[UniPoly]
+
+    def verify(self, claim: int, num_rounds: int, degree_bound: int, transcript):
+        """Host verifier (sumcheck.rs:29-63).  Returns (final_eval, r)."""
+        e = claim % R
+        r: List[int] = []
+        assert len(self.polys) == num_rounds
+        for poly in self.polys:
+            assert poly.degree() == degree_bound, "degree bound"
+            assert (poly.eval_at_zero() + poly.eval_at_one()) % R == e, (
+                "sumcheck round check failed"
+            )
+            poly.write_to_transcript(transcript)
+            r_i = transcript.challenge_scalar(R)
+            r.append(r_i)
+            e = poly.evaluate(r_i)
+        return e, r
+
+
+# -- device round kernels ---------------------------------------------------
+
+
+@jax.jit
+def _round_evals_cubic_tau(tau, A, B, C):
+    """Evals at {0,2,3} of sum_i tau(X,i) (A(X,i) B(X,i) - C(X,i))."""
+    n = tau.shape[0] // 2
+
+    def comb(t, a, b, c):
+        return jf.mont_mul(
+            FR, t, jf.sub(FR, jf.mont_mul(FR, a, b), c)
+        )
+
+    los = [x[:n] for x in (tau, A, B, C)]
+    his = [x[n:] for x in (tau, A, B, C)]
+    e0 = jf.reduce_sum(FR, comb(*los))
+    p2 = [jf.sub(FR, jf.add(FR, h, h), l) for l, h in zip(los, his)]
+    e2 = jf.reduce_sum(FR, comb(*p2))
+    p3 = [
+        jf.add(FR, x2, jf.sub(FR, h, l)) for x2, l, h in zip(p2, los, his)
+    ]
+    e3 = jf.reduce_sum(FR, comb(*p3))
+    return jnp.stack([e0, e2, e3])
+
+
+@jax.jit
+def _round_evals_cubic_prod(A, B, C):
+    """Evals at {0,2,3} of sum_i A B C (Spark product layer comb)."""
+    n = A.shape[0] // 2
+
+    def comb(a, b, c):
+        return jf.mont_mul(FR, jf.mont_mul(FR, a, b), c)
+
+    los = [x[:n] for x in (A, B, C)]
+    his = [x[n:] for x in (A, B, C)]
+    e0 = jf.reduce_sum(FR, comb(*los))
+    p2 = [jf.sub(FR, jf.add(FR, h, h), l) for l, h in zip(los, his)]
+    e2 = jf.reduce_sum(FR, comb(*p2))
+    p3 = [jf.add(FR, x2, jf.sub(FR, h, l)) for x2, l, h in zip(p2, los, his)]
+    e3 = jf.reduce_sum(FR, comb(*p3))
+    return jnp.stack([e0, e2, e3])
+
+
+@jax.jit
+def _round_evals_quad(A, B):
+    n = A.shape[0] // 2
+    los = [x[:n] for x in (A, B)]
+    his = [x[n:] for x in (A, B)]
+    e0 = jf.reduce_sum(FR, jf.mont_mul(FR, *los))
+    p2 = [jf.sub(FR, jf.add(FR, h, h), l) for l, h in zip(los, his)]
+    e2 = jf.reduce_sum(FR, jf.mont_mul(FR, *p2))
+    return jnp.stack([e0, e2])
+
+
+def _pull(evals_dev) -> List[int]:
+    return FR.decode(np.asarray(evals_dev))
+
+
+# -- provers ----------------------------------------------------------------
+
+
+def prove_cubic_with_additive_term(
+    claim: int,
+    num_rounds: int,
+    tau: jnp.ndarray,
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    C: jnp.ndarray,
+    transcript,
+) -> Tuple[SumcheckInstanceProof, List[int], List[int]]:
+    """Phase-1 Spartan sumcheck over tau * (A*B - C) (sumcheck.rs:67-148)."""
+    e = claim % R
+    rs: List[int] = []
+    polys: List[UniPoly] = []
+    for _ in range(num_rounds):
+        e0, e2, e3 = _pull(_round_evals_cubic_tau(tau, A, B, C))
+        poly = UniPoly.from_evals([e0, (e - e0) % R, e2, e3])
+        for c in poly.coeffs:
+            transcript.append_scalar(c, R)
+        r_j = transcript.challenge_scalar(R)
+        rs.append(r_j)
+        rdev = dense.encode_scalar(r_j)
+        tau, A, B, C = (dense.bound_top(x, rdev) for x in (tau, A, B, C))
+        e = poly.evaluate(r_j)
+        polys.append(poly)
+    claims = [dense.decode_scalar(x[0]) for x in (tau, A, B, C)]
+    return SumcheckInstanceProof(polys), rs, claims
+
+
+def prove_quad(
+    claim: int,
+    num_rounds: int,
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    transcript,
+) -> Tuple[SumcheckInstanceProof, List[int], List[int]]:
+    """Phase-2 Spartan sumcheck over A*B (sumcheck.rs:387-443)."""
+    e = claim % R
+    rs: List[int] = []
+    polys: List[UniPoly] = []
+    for _ in range(num_rounds):
+        e0, e2 = _pull(_round_evals_quad(A, B))
+        poly = UniPoly.from_evals([e0, (e - e0) % R, e2])
+        for c in poly.coeffs:
+            transcript.append_scalar(c, R)
+        r_j = transcript.challenge_scalar(R)
+        rs.append(r_j)
+        rdev = dense.encode_scalar(r_j)
+        A, B = (dense.bound_top(x, rdev) for x in (A, B))
+        e = poly.evaluate(r_j)
+        polys.append(poly)
+    claims = [dense.decode_scalar(x[0]) for x in (A, B)]
+    return SumcheckInstanceProof(polys), rs, claims
+
+
+def prove_cubic(
+    claim: int,
+    num_rounds: int,
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    C: jnp.ndarray,
+    transcript,
+) -> Tuple[SumcheckInstanceProof, List[int], List[int]]:
+    """Product sumcheck over A*B*C (sumcheck.rs:149-218)."""
+    e = claim % R
+    rs: List[int] = []
+    polys: List[UniPoly] = []
+    for _ in range(num_rounds):
+        e0, e2, e3 = _pull(_round_evals_cubic_prod(A, B, C))
+        poly = UniPoly.from_evals([e0, (e - e0) % R, e2, e3])
+        poly.write_to_transcript(transcript)
+        r_j = transcript.challenge_scalar(R)
+        rs.append(r_j)
+        rdev = dense.encode_scalar(r_j)
+        A, B, C = (dense.bound_top(x, rdev) for x in (A, B, C))
+        e = poly.evaluate(r_j)
+        polys.append(poly)
+    claims = [dense.decode_scalar(x[0]) for x in (A, B, C)]
+    return SumcheckInstanceProof(polys), rs, claims
+
+
+def prove_cubic_batched(
+    claim: int,
+    num_rounds: int,
+    poly_vec_par,  # (list[A], list[B], shared C) device tables
+    poly_vec_seq,  # (list[A], list[B], list[C]) device tables
+    coeffs: List[int],
+    transcript,
+):
+    """Batched product sumcheck (sumcheck.rs:220-385): `par` instances share
+    poly_C (the eq polynomial); `seq` instances carry their own weights.
+    Instances are random-linear-combined by `coeffs`.
+
+    Returns (proof, r, claims_prod, claims_dotp) with
+    claims_prod = (A_finals, B_finals, C_final) and claims_dotp the seq
+    finals.
+    """
+    A_par, B_par, C_par = poly_vec_par
+    A_seq, B_seq, C_seq = poly_vec_seq
+    A_par, B_par = list(A_par), list(B_par)
+    A_seq, B_seq, C_seq = list(A_seq), list(B_seq), list(C_seq)
+
+    e = claim % R
+    rs: List[int] = []
+    polys: List[UniPoly] = []
+    for _ in range(num_rounds):
+        evals = []
+        for a, b in zip(A_par, B_par):
+            evals.append(_pull(_round_evals_cubic_prod(a, b, C_par)))
+        for a, b, c in zip(A_seq, B_seq, C_seq):
+            evals.append(_pull(_round_evals_cubic_prod(a, b, c)))
+        comb0 = sum(ev[0] * cf for ev, cf in zip(evals, coeffs)) % R
+        comb2 = sum(ev[1] * cf for ev, cf in zip(evals, coeffs)) % R
+        comb3 = sum(ev[2] * cf for ev, cf in zip(evals, coeffs)) % R
+        poly = UniPoly.from_evals([comb0, (e - comb0) % R, comb2, comb3])
+        poly.write_to_transcript(transcript)
+        r_j = transcript.challenge_scalar(R)
+        rs.append(r_j)
+        rdev = dense.encode_scalar(r_j)
+        A_par = [dense.bound_top(x, rdev) for x in A_par]
+        B_par = [dense.bound_top(x, rdev) for x in B_par]
+        C_par = dense.bound_top(C_par, rdev)
+        A_seq = [dense.bound_top(x, rdev) for x in A_seq]
+        B_seq = [dense.bound_top(x, rdev) for x in B_seq]
+        C_seq = [dense.bound_top(x, rdev) for x in C_seq]
+        e = poly.evaluate(r_j)
+        polys.append(poly)
+
+    claims_prod = (
+        [dense.decode_scalar(x[0]) for x in A_par],
+        [dense.decode_scalar(x[0]) for x in B_par],
+        dense.decode_scalar(C_par[0]),
+    )
+    claims_dotp = (
+        [dense.decode_scalar(x[0]) for x in A_seq],
+        [dense.decode_scalar(x[0]) for x in B_seq],
+        [dense.decode_scalar(x[0]) for x in C_seq],
+    )
+    return SumcheckInstanceProof(polys), rs, claims_prod, claims_dotp

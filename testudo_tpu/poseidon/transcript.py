@@ -47,10 +47,13 @@ class PoseidonTranscript:
 
     # -- state re-keying ----------------------------------------------------
 
-    def new_from_state(self, challenge: int) -> None:
-        """Fresh sponge re-keyed with a native scalar (reference :50-54)."""
+    def new_from_state(self, challenge: int, field_modulus: int = None) -> None:
+        """Fresh sponge re-keyed via append_scalar (reference :50-54).
+
+        The challenge is an Fr scalar in all call sites; for an Fq sponge the
+        cross-field absorb applies."""
         self.sponge = PoseidonSponge(self.params)
-        self.append_scalar(challenge, self.params.modulus)
+        self.append_scalar(challenge, field_modulus or R)
 
     def new_from_state2_scalar(self, challenge: int, field_modulus: int) -> None:
         """Fresh sponge + generic append of a scalar (reference :57-62)."""

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,7 +57,7 @@ _QNR_LIMBS = None
 def _qnr_limbs():
     global _QNR_LIMBS
     if _QNR_LIMBS is None:
-        _QNR_LIMBS = jf.const_array(FQ, _QNR)
+        _QNR_LIMBS = np.asarray(jf.const_array(FQ, _QNR))
     return _QNR_LIMBS
 
 
@@ -76,6 +77,11 @@ def fq2_select(cond, a: Fq2Dev, b: Fq2Dev) -> Fq2Dev:
 # ---------------------------------------------------------------------------
 # Generic complete addition over a coordinate-field "ops" namespace
 # ---------------------------------------------------------------------------
+#
+# The RCB16 formulas are evaluated in STAGES: all multiplications inside a
+# stage are independent and are stacked into a single batched mont_mul call
+# (3 calls per add instead of 12).  This shrinks the XLA graph ~4x and
+# widens every multiply, which is exactly what the VPU wants.
 
 
 class _G1Ops:
@@ -88,122 +94,137 @@ class _G1Ops:
         return jf.sub(FQ, a, b)
 
     @staticmethod
-    def mul(a, b):
-        return jf.mont_mul(FQ, a, b)
+    def mul_many(pairs):
+        k = len(pairs)
+        A = jnp.stack([p[0] for p in pairs], axis=0)
+        B = jnp.stack([p[1] for p in pairs], axis=0)
+        out = jf.mont_mul(FQ, A, B)
+        return [out[i] for i in range(k)]
 
     @staticmethod
-    def mul_b3(a):
-        # b3 = 3: two additions
-        return jf.add(FQ, jf.add(FQ, a, a), a)
+    def mul_b3_pair(x, y):
+        # b3 = 3: two additions each
+        t3 = lambda v: jf.add(FQ, jf.add(FQ, v, v), v)
+        return t3(x), t3(y)
+
+    @staticmethod
+    def mul_b3(x):
+        return jf.add(FQ, jf.add(FQ, x, x), x)
 
     @staticmethod
     def select(c, a, b):
         return jf.select(c, a, b)
 
-    @staticmethod
-    def zero_like(a):
-        return jnp.zeros_like(a)
 
-    @staticmethod
-    def one_like(a):
-        one = jf.const_array(FQ, 1)
-        return jnp.broadcast_to(one, a.shape)
-
-    @staticmethod
-    def is_zero(a):
-        return jf.is_zero(FQ, a)
+_B3_G2_HOST = B2 + B2 + B2  # 3 * b2 = (0, -3/5) in Fq2
+# (0 + k u)(a0 + a1 u) = (qnr k a1, k a0) and qnr*k = (-5)(-3/5) = 3
+_B3_K = _B3_G2_HOST.c1  # k = -3/5 mod p
 
 
-_B3_G2_HOST = (B2 + B2 + B2)  # 3 * b2 in Fq2
+def _fq2_mul_many(pairs):
+    """Batched Karatsuba: one stacked mont_mul of 3k products, qnr=-5 fold
+    via additions (c0 = t0 - 5 t1)."""
+    k = len(pairs)
+    A = jnp.stack(
+        [p[0][0] for p in pairs]
+        + [p[0][1] for p in pairs]
+        + [jf.add(FQ, p[0][0], p[0][1]) for p in pairs],
+        axis=0,
+    )
+    B = jnp.stack(
+        [p[1][0] for p in pairs]
+        + [p[1][1] for p in pairs]
+        + [jf.add(FQ, p[1][0], p[1][1]) for p in pairs],
+        axis=0,
+    )
+    out = jf.mont_mul(FQ, A, B)
+    res = []
+    for i in range(k):
+        t0, t1, s = out[i], out[k + i], out[2 * k + i]
+        c1 = jf.sub(FQ, jf.sub(FQ, s, t0), t1)
+        t1_4 = jf.add(FQ, jf.add(FQ, t1, t1), jf.add(FQ, t1, t1))
+        c0 = jf.sub(FQ, t0, jf.add(FQ, t1_4, t1))  # t0 - 5 t1
+        res.append((c0, c1))
+    return res
 
 
 class _G2Ops:
     add = staticmethod(fq2_add)
     sub = staticmethod(fq2_sub)
-    mul = staticmethod(fq2_mul)
+    mul_many = staticmethod(_fq2_mul_many)
     select = staticmethod(fq2_select)
 
     @staticmethod
-    def mul_b3(a):
-        b3c0 = jnp.broadcast_to(jf.const_array(FQ, _B3_G2_HOST.c0), a[0].shape)
-        b3c1 = jnp.broadcast_to(jf.const_array(FQ, _B3_G2_HOST.c1), a[1].shape)
-        return fq2_mul(a, (b3c0, b3c1))
+    def mul_b3_pair(x, y):
+        # b3 * a = (3 a1, k a0), k = -3/5; batch the two k-muls
+        kc = jnp.asarray(jf.const_array(FQ, _B3_K))
+        A = jnp.stack([x[0], y[0]], axis=0)
+        B = jnp.stack(
+            [jnp.broadcast_to(kc, x[0].shape), jnp.broadcast_to(kc, y[0].shape)],
+            axis=0,
+        )
+        out = jf.mont_mul(FQ, A, B)
+        t3 = lambda v: jf.add(FQ, jf.add(FQ, v, v), v)
+        return (t3(x[1]), out[0]), (t3(y[1]), out[1])
 
     @staticmethod
-    def zero_like(a):
-        return (jnp.zeros_like(a[0]), jnp.zeros_like(a[1]))
-
-    @staticmethod
-    def one_like(a):
-        one = jf.const_array(FQ, 1)
-        return (jnp.broadcast_to(one, a[0].shape), jnp.zeros_like(a[1]))
-
-    @staticmethod
-    def is_zero(a):
-        return jf.is_zero(FQ, a[0]) & jf.is_zero(FQ, a[1])
+    def mul_b3(x):
+        kc = jnp.asarray(jf.const_array(FQ, _B3_K))
+        ka0 = jf.mont_mul(FQ, x[0], jnp.broadcast_to(kc, x[0].shape))
+        t3 = lambda v: jf.add(FQ, jf.add(FQ, v, v), v)
+        return (t3(x[1]), ka0)
 
 
 def _complete_add(F, p1, p2):
-    """RCB16 Algorithm 7 (a = 0): complete projective addition."""
+    """RCB16 Algorithm 7 (a = 0): complete projective addition, staged."""
     X1, Y1, Z1 = p1
     X2, Y2, Z2 = p2
-    t0 = F.mul(X1, X2)
-    t1 = F.mul(Y1, Y2)
-    t2 = F.mul(Z1, Z2)
-    t3 = F.add(X1, Y1)
-    t4 = F.add(X2, Y2)
-    t3 = F.mul(t3, t4)
-    t4 = F.add(t0, t1)
-    t3 = F.sub(t3, t4)
-    t4 = F.add(Y1, Z1)
-    X3 = F.add(Y2, Z2)
-    t4 = F.mul(t4, X3)
-    X3 = F.add(t1, t2)
-    t4 = F.sub(t4, X3)
-    X3 = F.add(X1, Z1)
-    Y3 = F.add(X2, Z2)
-    X3 = F.mul(X3, Y3)
-    Y3 = F.add(t0, t2)
-    Y3 = F.sub(X3, Y3)
+    # stage 1: all pairwise coordinate products
+    t0, t1, t2, m3, m4, m5 = F.mul_many(
+        [
+            (X1, X2),
+            (Y1, Y2),
+            (Z1, Z2),
+            (F.add(X1, Y1), F.add(X2, Y2)),
+            (F.add(Y1, Z1), F.add(Y2, Z2)),
+            (F.add(X1, Z1), F.add(X2, Z2)),
+        ]
+    )
+    t3 = F.sub(m3, F.add(t0, t1))
+    t4 = F.sub(m4, F.add(t1, t2))
+    Y3 = F.sub(m5, F.add(t0, t2))
     X3 = F.add(t0, t0)
     t0 = F.add(X3, t0)
-    t2 = F.mul_b3(t2)
-    Z3 = F.add(t1, t2)
-    t1 = F.sub(t1, t2)
-    Y3 = F.mul_b3(Y3)
-    X3 = F.mul(t4, Y3)
-    t2 = F.mul(t3, t1)
-    X3 = F.sub(t2, X3)
-    Y3 = F.mul(Y3, t0)
-    t1 = F.mul(t1, Z3)
-    Y3 = F.add(t1, Y3)
-    t0 = F.mul(t0, t3)
-    Z3 = F.mul(Z3, t4)
-    Z3 = F.add(Z3, t0)
+    t2b, Y3b = F.mul_b3_pair(t2, Y3)
+    Z3 = F.add(t1, t2b)
+    t1 = F.sub(t1, t2b)
+    # stage 3: six independent products
+    a1, a2, a3, a4, a5, a6 = F.mul_many(
+        [(t4, Y3b), (t3, t1), (Y3b, t0), (t1, Z3), (t0, t3), (Z3, t4)]
+    )
+    X3 = F.sub(a2, a1)
+    Y3 = F.add(a4, a3)
+    Z3 = F.add(a6, a5)
     return (X3, Y3, Z3)
 
 
 def _complete_double(F, p):
-    """RCB16 Algorithm 9 (a = 0): complete projective doubling."""
+    """RCB16 Algorithm 9 (a = 0): complete projective doubling, staged."""
     X, Y, Z = p
-    t0 = F.mul(Y, Y)
-    Z3 = F.add(t0, t0)
-    Z3 = F.add(Z3, Z3)
-    Z3 = F.add(Z3, Z3)
-    t1 = F.mul(Y, Z)
-    t2 = F.mul(Z, Z)
-    t2 = F.mul_b3(t2)
-    X3 = F.mul(t2, Z3)
-    Y3 = F.add(t0, t2)
-    Z3 = F.mul(t1, Z3)
-    t1 = F.add(t2, t2)
-    t2 = F.add(t1, t2)
-    t0 = F.sub(t0, t2)
-    Y3 = F.mul(t0, Y3)
-    Y3 = F.add(X3, Y3)
-    t1 = F.mul(X, Y)
-    X3 = F.mul(t0, t1)
-    X3 = F.add(X3, X3)
+    t0, t1, t2, txy = F.mul_many([(Y, Y), (Y, Z), (Z, Z), (X, Y)])
+    z3 = F.add(t0, t0)
+    z3 = F.add(z3, z3)
+    z3 = F.add(z3, z3)  # 8 Y^2 ... follows Alg 9's Z3 pre-product value
+    t2b = F.mul_b3(t2)
+    y3 = F.add(t0, t2b)
+    t1d = F.add(t2b, t2b)
+    t2t = F.add(t1d, t2b)
+    t0 = F.sub(t0, t2t)
+    # products: X3 = t2b*z3, Z3 = t1*z3, Y3 = t0*y3, xf = t0*txy
+    b1, b2, b3_, b4 = F.mul_many([(t2b, z3), (t1, z3), (t0, y3), (t0, txy)])
+    Y3 = F.add(b1, b3_)
+    X3 = F.add(b4, b4)
+    Z3 = b2
     return (X3, Y3, Z3)
 
 
@@ -335,3 +356,123 @@ def g2_to_affine_host(p) -> List:
             zi = z.inv()
             out.append((HostFq2(x0, x1) * zi, HostFq2(y0, y1) * zi))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Batched fixed-base scalar multiplication (SRS generation)
+# ---------------------------------------------------------------------------
+
+
+def _bit_of(scalars_canon: jnp.ndarray, bit: jnp.ndarray) -> jnp.ndarray:
+    """Extract bit `bit` (traced scalar) of each (N, 16)-limb Fr scalar."""
+    limb = bit // 16
+    sh = bit % 16
+    col = jnp.take_along_axis(
+        scalars_canon, jnp.broadcast_to(limb, (scalars_canon.shape[0], 1)), axis=1
+    )[:, 0]
+    return (col >> sh) & 1
+
+
+def fixed_base_mul_g1(scalars_canon: jnp.ndarray, base_host):
+    """[s_i] * base for one shared host affine base -> batched projective G1.
+
+    253-step double-free ladder: host-precomputed 2^k * base table, one
+    batched complete add + select per bit.  Used for SRS generation
+    (g^{eq(t, b)} tables) where all lanes share the generator.
+    """
+    from ..curves import host_curve as hc
+
+    nbits = 16 * 16
+    doublings = []
+    cur = base_host
+    for _ in range(nbits):
+        doublings.append(cur)
+        cur = hc.g1_add(cur, cur)
+    table = g1_from_affine_host(doublings)  # (nbits, ...)
+
+    n = scalars_canon.shape[0]
+
+    def body(i, acc):
+        bit = _bit_of(scalars_canon, i)
+        base_i = jax.tree_util.tree_map(
+            lambda coord: jnp.broadcast_to(coord[i], (n,) + coord.shape[1:]),
+            table,
+        )
+        new = g1_add(acc, base_i)
+        return g1_select(bit == 1, new, acc)
+
+    import jax
+
+    return jax.lax.fori_loop(0, nbits, body, g1_identity((n,)))
+
+
+def fixed_base_mul_g2(scalars_canon: jnp.ndarray, base_host):
+    from ..curves import host_curve as hc
+    import jax
+
+    nbits = 16 * 16
+    doublings = []
+    cur = base_host
+    for _ in range(nbits):
+        doublings.append(cur)
+        cur = hc.g2_add(cur, cur)
+    table = g2_from_affine_host(doublings)
+
+    n = scalars_canon.shape[0]
+
+    def body(i, acc):
+        bit = _bit_of(scalars_canon, i)
+        base_i = jax.tree_util.tree_map(
+            lambda coord: jnp.broadcast_to(coord[i], (n,) + coord.shape[1:]),
+            table,
+        )
+        new = g2_add(acc, base_i)
+        return g2_select(bit == 1, new, acc)
+
+    return jax.lax.fori_loop(0, nbits, body, g2_identity((n,)))
+
+
+# ---------------------------------------------------------------------------
+# Batched single-scalar multiplication (MIPP compression folds)
+# ---------------------------------------------------------------------------
+
+
+def _scalar_bits_dev(scalar_canon: jnp.ndarray):
+    """(16,)-limb canonical Fr scalar -> bit lookup helper."""
+
+    def bit(i):
+        limb = i // 16
+        sh = i % 16
+        return (scalar_canon[limb] >> sh) & 1
+
+    return bit
+
+
+def scalar_mul_batch_g1(points, scalar_canon: jnp.ndarray):
+    """[c] * P_i for one (dynamic) scalar applied to a whole point batch.
+
+    LSB-first double-free: acc += bit_i ? base : 0; base = 2*base.
+    """
+    bit = _scalar_bits_dev(scalar_canon)
+    n = points[0].shape[0]
+
+    def body(i, state):
+        acc, base = state
+        acc = g1_select(jnp.broadcast_to(bit(i) == 1, (n,)), g1_add(acc, base), acc)
+        return acc, g1_double(base)
+
+    acc, _ = jax.lax.fori_loop(0, 16 * 16, body, (g1_identity((n,)), points))
+    return acc
+
+
+def scalar_mul_batch_g2(points, scalar_canon: jnp.ndarray):
+    bit = _scalar_bits_dev(scalar_canon)
+    n = points[0][0].shape[0]
+
+    def body(i, state):
+        acc, base = state
+        acc = g2_select(jnp.broadcast_to(bit(i) == 1, (n,)), g2_add(acc, base), acc)
+        return acc, g2_double(base)
+
+    acc, _ = jax.lax.fori_loop(0, 16 * 16, body, (g2_identity((n,)), points))
+    return acc

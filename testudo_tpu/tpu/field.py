@@ -356,7 +356,8 @@ def select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def const_array(spec: FieldSpec, value, mont: bool = True) -> jnp.ndarray:
     if isinstance(value, int):
         v = spec.to_mont_int(value % spec.modulus) if mont else value % spec.modulus
-        return jnp.asarray(_int_to_limbs(v, spec.nlimbs))
+        # numpy (not jnp) so cached/global constants never capture tracers
+        return np.asarray(_int_to_limbs(v, spec.nlimbs))
     raise TypeError(value)
 
 

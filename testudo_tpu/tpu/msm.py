@@ -176,8 +176,7 @@ def _weighted_bucket_sum(G, buckets, c: int):
     return jax.lax.fori_loop(1, groups_left, red2_body, first)
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def _msm_windows(group_name: str, points, scalars_canon: jnp.ndarray, c: int):
+def _msm_windows_impl(group_name: str, points, scalars_canon: jnp.ndarray, c: int):
     G = _G1 if group_name == "g1" else _G2
     digits = _digits_from_scalars(scalars_canon, c)  # (W, N)
     nbuckets = 1 << c
@@ -187,6 +186,9 @@ def _msm_windows(group_name: str, points, scalars_canon: jnp.ndarray, c: int):
         return _weighted_bucket_sum(G, buckets, c)
 
     return jax.lax.map(one_window, digits)
+
+
+_msm_windows = partial(jax.jit, static_argnums=(0, 3))(_msm_windows_impl)
 
 
 def _combine_windows_host(windows, c: int, group: str):
