@@ -246,3 +246,141 @@ def verify_native(
         proof.mipp_proof,
         proof.t,
     )
+
+
+# ---------------------------------------------------------------------------
+# Groth16-compressed verification (CircuitGens / prove_verifier /
+# R1CSVerifierProof -- r1csproof.rs:67-152, 374-487)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CircuitGens:
+    """Groth16 keys for the Spartan verifier circuit, from a dummy circuit
+    of the right SHAPE (CircuitGens::setup, r1csproof.rs:80-151: the
+    constraint matrices depend only on dimensions, not on values)."""
+
+    pk: object
+    vk: object
+
+    @staticmethod
+    def setup(num_cons: int, num_vars: int, num_inputs: int) -> "CircuitGens":
+        from . import groth16
+        from .circuit import VerifierConfig, build_verifier_circuit
+
+        nx = num_cons.bit_length() - 1
+        ny = (2 * num_vars).bit_length() - 1
+        config = VerifierConfig(
+            num_vars=num_vars,
+            num_cons=num_cons,
+            inputs=[1] * num_inputs,
+            evals=(1, 1, 1),
+            prev_challenge=1,
+            claims_phase2=(1, 1, 1, 1),
+            eval_vars_at_ry=1,
+            polys_sc1=[[1, 1, 1, 1] for _ in range(nx)],
+            polys_sc2=[[1, 1, 1] for _ in range(ny)],
+            rx=[1] * nx,
+            ry=[1] * ny,
+            transcript_sat_state=1,
+        )
+        cs = build_verifier_circuit(config)
+        pk, vk = groth16.setup(cs)
+        return CircuitGens(pk, vk)
+
+
+@dataclass
+class R1CSVerifierProof:
+    """Mirror of r1csproof.rs:55-65."""
+
+    comm_U: object
+    circuit_proof: object  # groth16.Proof
+    initial_state: int
+    transcript_sat_state: int
+    eval_vars_at_ry: int
+    proof_eval_vars_at_ry: List
+    t: Fq12
+    mipp_proof: MippProof
+
+
+def prove_verifier(
+    proof: R1CSProof,
+    num_vars: int,
+    num_cons: int,
+    inputs: List[int],
+    evals: Tuple[int, int, int],
+    transcript,
+    circuit_gens: CircuitGens,
+) -> R1CSVerifierProof:
+    """Groth16-prove the sumcheck verifier circuit (r1csproof.rs:374-434)."""
+    from . import groth16
+    from .circuit import VerifierConfig, build_verifier_circuit
+
+    transcript.append_gt(proof.t)
+    initial_state = transcript.challenge_scalar(R)
+    transcript.new_from_state(initial_state)
+
+    config = VerifierConfig(
+        num_vars=num_vars,
+        num_cons=num_cons,
+        inputs=list(inputs),
+        evals=evals,
+        prev_challenge=initial_state,
+        claims_phase2=proof.claims_phase2,
+        eval_vars_at_ry=proof.eval_vars_at_ry,
+        polys_sc1=[p.coeffs for p in proof.sc_proof_phase1.polys],
+        polys_sc2=[p.coeffs for p in proof.sc_proof_phase2.polys],
+        rx=proof.rx,
+        ry=proof.ry,
+        transcript_sat_state=proof.transcript_sat_state,
+    )
+    cs = build_verifier_circuit(config)
+    assert cs.is_satisfied(), "verifier circuit unsatisfied"
+    circuit_proof = groth16.prove(circuit_gens.pk, cs)
+    return R1CSVerifierProof(
+        comm_U=proof.comm_U,
+        circuit_proof=circuit_proof,
+        initial_state=proof.initial_state,
+        transcript_sat_state=proof.transcript_sat_state,
+        eval_vars_at_ry=proof.eval_vars_at_ry,
+        proof_eval_vars_at_ry=proof.proof_eval_vars_at_ry,
+        t=proof.t,
+        mipp_proof=proof.mipp_proof,
+    )
+
+
+def verifier_proof_verify(
+    vproof: R1CSVerifierProof,
+    r: Tuple[List[int], List[int]],
+    inputs: List[int],
+    evals: Tuple[int, int, int],
+    transcript,
+    circuit_gens: CircuitGens,
+    gens: R1CSGens,
+) -> bool:
+    """R1CSVerifierProof::verify with the PST+MIPP opening check ENABLED
+    (r1csproof.rs:443-487; the snapshot comments the opening check out and
+    returns Ok(true), which we deliberately do not reproduce)."""
+    from . import groth16
+
+    rx, ry = r
+    Ar, Br, Cr = evals
+    pubs = [vproof.initial_state]
+    pubs += list(inputs)
+    pubs += list(rx)
+    pubs += list(ry)
+    pubs += [vproof.eval_vars_at_ry, Ar, Br, Cr, vproof.transcript_sat_state]
+    if not groth16.verify(circuit_gens.vk, pubs, vproof.circuit_proof):
+        return False
+
+    transcript.new_from_state(vproof.transcript_sat_state)
+    return sqrt_pst.verify(
+        transcript,
+        gens.vk,
+        vproof.comm_U,
+        ry[1:],
+        vproof.eval_vars_at_ry,
+        vproof.proof_eval_vars_at_ry,
+        vproof.mipp_proof,
+        vproof.t,
+    )

@@ -111,11 +111,14 @@ def _pad_params(num_cons: int, num_vars: int, num_inputs: int):
 @dataclass
 class TestudoNizkGens:
     gens_r1cs_sat: r1csproof.R1CSGens
+    gens_gc: "r1csproof.CircuitGens | None" = None
 
     @staticmethod
-    def setup(num_cons: int, num_vars: int, num_inputs: int) -> "TestudoNizkGens":
+    def setup(num_cons: int, num_vars: int, num_inputs: int,
+              with_groth16: bool = False) -> "TestudoNizkGens":
         nc, nv = _pad_params(num_cons, num_vars, num_inputs)
-        return TestudoNizkGens(r1csproof.R1CSGens.setup(nv))
+        gc = r1csproof.CircuitGens.setup(nc, nv, num_inputs) if with_groth16 else None
+        return TestudoNizkGens(r1csproof.R1CSGens.setup(nv), gc)
 
 
 @dataclass
@@ -168,24 +171,34 @@ def nizk_verify(proof: TestudoNizk, gens: TestudoNizkGens, inst: r1cs.Instance,
 class TestudoSnarkGens:
     gens_r1cs_sat: r1csproof.R1CSGens
     gens_r1cs_eval: R1CSCommitmentGens
+    gens_gc: "r1csproof.CircuitGens | None" = None
 
     @staticmethod
     def setup(num_cons: int, num_vars: int, num_inputs: int,
-              num_nz_entries: int) -> "TestudoSnarkGens":
+              num_nz_entries: int, with_groth16: bool = True) -> "TestudoSnarkGens":
+        """Setup incl. the Groth16 circuit keys (TestudoSnarkGens::setup,
+        testudo_snark.rs:41-90: R1CSGens bundles PST + CircuitGens)."""
         nc, nv = _pad_params(num_cons, num_vars, num_inputs)
+        gc = r1csproof.CircuitGens.setup(nc, nv, num_inputs) if with_groth16 else None
         return TestudoSnarkGens(
             r1csproof.R1CSGens.setup(nv),
             R1CSCommitmentGens.setup(b"gens_r1cs_eval", nc, nv, num_inputs,
                                      num_nz_entries),
+            gc,
         )
 
 
 @dataclass
 class TestudoSnark:
+    """Mirror of testudo_snark.rs:23-33: the satisfiability side ships as
+    the Groth16-compressed R1CSVerifierProof when circuit gens are present,
+    plus the Spark evaluation proof."""
+
     r1cs_sat_proof: r1csproof.R1CSProof
     r1cs_eval_proof: R1CSEvalProof
     inst_evals: Tuple[int, int, int]
     r: Tuple[List[int], List[int]]
+    r1cs_verifier_proof: "r1csproof.R1CSVerifierProof | None" = None
 
 
 def snark_encode(inst: r1cs.Instance, gens: TestudoSnarkGens):
@@ -220,7 +233,18 @@ def snark_prove(inst: r1cs.Instance, comm: ComputationCommitment,
     eval_proof = r1cs_eval_prove(
         decomm, rx, ry, (Ar, Br, Cr), gens.gens_r1cs_eval, transcript
     )
-    return TestudoSnark(sat_proof, eval_proof, (Ar, Br, Cr), (rx, ry))
+
+    verifier_proof = None
+    if gens.gens_gc is not None:
+        # re-key and Groth16-prove the verifier circuit (testudo_snark.rs:
+        # 176-190)
+        transcript.new_from_state(c)
+        verifier_proof = r1csproof.prove_verifier(
+            sat_proof, inst.inst.num_vars, inst.inst.num_cons,
+            inputs.assignment, (Ar, Br, Cr), transcript, gens.gens_gc,
+        )
+    return TestudoSnark(sat_proof, eval_proof, (Ar, Br, Cr), (rx, ry),
+                        verifier_proof)
 
 
 def snark_verify(proof: TestudoSnark, gens: TestudoSnarkGens,
@@ -232,12 +256,24 @@ def snark_verify(proof: TestudoSnark, gens: TestudoSnarkGens,
     transcript.new_from_state(c)
 
     rx, ry = proof.r
-    sat_ok = r1csproof.verify_native(
-        proof.r1cs_sat_proof, proof.inst_evals, comm.num_cons, comm.num_vars,
-        inputs.assignment, gens.gens_r1cs_sat, transcript,
-    )
-    if not sat_ok:
-        return False
+    if gens.gens_gc is not None and proof.r1cs_verifier_proof is not None:
+        # Groth16-compressed verification + enabled PST/MIPP opening check.
+        # verifier_proof_verify re-keys the transcript at sat_state and
+        # advances it through the MIPP absorbs, exactly as the prover's
+        # transcript was advanced (testudo_snark.rs:209-216).
+        sat_ok = r1csproof.verifier_proof_verify(
+            proof.r1cs_verifier_proof, (rx, ry), inputs.assignment,
+            proof.inst_evals, transcript, gens.gens_gc, gens.gens_r1cs_sat,
+        )
+        if not sat_ok:
+            return False
+    else:
+        sat_ok = r1csproof.verify_native(
+            proof.r1cs_sat_proof, proof.inst_evals, comm.num_cons, comm.num_vars,
+            inputs.assignment, gens.gens_r1cs_sat, transcript,
+        )
+        if not sat_ok:
+            return False
 
     Ar, Br, Cr = proof.inst_evals
     transcript.append_scalar(Ar, R)

@@ -155,8 +155,6 @@ def _multi_msm_g1(basis, scalars_canon: jnp.ndarray):
     Used for the per-column sqrt-PST commitments.  Runs the windowed
     bucket pipeline per column via lax.map to bound memory.
     """
-    K, N = scalars_canon.shape[0], scalars_canon.shape[1]
+    N = scalars_canon.shape[1]
     c = msm._pick_window(N)
-    out = [msm._msm_windows("g1", basis, scalars_canon[k], c) for k in range(K)]
-    res = [msm._combine_windows_host(w, c, "g1") for w in out]
-    return jc.g1_from_affine_host(res)
+    return msm._multi_msm_device("g1", basis, scalars_canon, c)

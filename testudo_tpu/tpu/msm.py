@@ -191,6 +191,34 @@ def _msm_windows_impl(group_name: str, points, scalars_canon: jnp.ndarray, c: in
 _msm_windows = partial(jax.jit, static_argnums=(0, 3))(_msm_windows_impl)
 
 
+def _horner_combine_device(G, wins, c: int):
+    """Combine per-window sums on device: acc = sum_w 2^(c*w) * S_w."""
+    W = jax.tree_util.tree_leaves(wins)[0].shape[0]
+
+    def body(i, acc):
+        w = W - 2 - i
+        for _ in range(c):
+            acc = G.double(acc)
+        return G.add(acc, tree_map(lambda coord: coord[w], wins))
+
+    acc0 = tree_map(lambda coord: coord[W - 1], wins)
+    return jax.lax.fori_loop(0, W - 1, body, acc0)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _multi_msm_device(group_name: str, points, scalars_canon: jnp.ndarray, c: int):
+    """Many MSMs over one shared basis: scalars (K, N, limbs) -> K
+    projective points, fully on device (used by the sqrt-PST column
+    commitments, sqrt_pst.rs:120-126)."""
+    G = _G1 if group_name == "g1" else _G2
+
+    def one(scal):
+        wins = _msm_windows_impl(group_name, points, scal, c)
+        return _horner_combine_device(G, wins, c)
+
+    return jax.lax.map(one, scalars_canon)
+
+
 def _combine_windows_host(windows, c: int, group: str):
     """Horner-combine per-window sums on the host (O(bits) tiny muls)."""
     from ..curves import host_curve as hc
