@@ -171,7 +171,7 @@ def verify(
     for (u_l, u_r), (t_l, t_r), c, c_inv in zip(
         proof.comms_u, proof.comms_t, xs, xs_inv
     ):
-        tc = tc * t_l.pow(c_inv) * t_r.pow(c)
+        tc = tc * pr.gt_pow(t_l, c_inv) * pr.gt_pow(t_r, c)
         uc = hc.g1_add(uc, hc.g1_add(hc.g1_mul(u_l, c_inv), hc.g1_mul(u_r, c)))
 
     m = len(xs_inv)

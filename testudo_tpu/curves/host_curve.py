@@ -147,6 +147,8 @@ def g1_neg(p):
 
 
 def g1_mul(p, k):
+    if native.available():
+        return native.g1_mul(p, k)
     return _mul(_FqOps, p, k)
 
 
@@ -163,6 +165,8 @@ def g2_neg(p):
 
 
 def g2_mul(p, k):
+    if native.available():
+        return native.g2_mul(p, k)
     return _mul(_Fq2Ops, p, k)
 
 
@@ -171,21 +175,27 @@ def g2_is_on_curve(p):
 
 
 def g1_msm(points, scalars):
-    """Naive host MSM (reference only; device MSM lives in tpu/msm.py)."""
+    """Host MSM (native Pippenger when available; device MSM in tpu/msm.py)."""
+    points, scalars = list(points), [s % R for s in scalars]
+    if native.available():
+        return native.g1_msm(points, scalars)
     acc = None
     for pt, s in zip(points, scalars):
-        if s % R == 0 or pt is None:
+        if s == 0 or pt is None:
             continue
-        acc = g1_add(acc, g1_mul(pt, s % R))
+        acc = g1_add(acc, _mul(_FqOps, pt, s))
     return acc
 
 
 def g2_msm(points, scalars):
+    points, scalars = list(points), [s % R for s in scalars]
+    if native.available():
+        return native.g2_msm(points, scalars)
     acc = None
     for pt, s in zip(points, scalars):
-        if s % R == 0 or pt is None:
+        if s == 0 or pt is None:
             continue
-        acc = g2_add(acc, g2_mul(pt, s % R))
+        acc = g2_add(acc, _mul(_Fq2Ops, pt, s))
     return acc
 
 
@@ -236,3 +246,6 @@ def g2_generator():
     if _G2_GEN is None:
         _G2_GEN = _find_g2_generator()
     return _G2_GEN
+
+
+from .. import native  # noqa: E402  (bottom import: native codecs need fields only)

@@ -130,8 +130,23 @@ def final_exponentiation(f: Fq12) -> Fq12:
 
 
 def pairing(p, q) -> Fq12:
+    if native.available():
+        return native.multi_pairing([p], [q])
     return final_exponentiation(miller_loop(p, q))
 
 
 def multi_pairing(g1s: List[object], g2s: List[object]) -> Fq12:
+    g1s, g2s = list(g1s), list(g2s)
+    if native.available():
+        return native.multi_pairing(g1s, g2s)
     return final_exponentiation(multi_miller_loop(zip(g1s, g2s)))
+
+
+def gt_pow(f: Fq12, e: int) -> Fq12:
+    """GT exponentiation (native-accelerated when available)."""
+    if native.available():
+        return native.gt_pow(f, e)
+    return f.pow(e)
+
+
+from .. import native  # noqa: E402  (bottom import: avoids partial-init order issues)
