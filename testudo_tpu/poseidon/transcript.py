@@ -34,8 +34,40 @@ def fr_params() -> PoseidonParams:
 @lru_cache(maxsize=None)
 def fq_params() -> PoseidonParams:
     """get_bls12377_fq_params() (parameters.rs:309-338); identical integers
-    re-read in Fq (== params_to_base_field::<Bls12_377>())."""
+    re-read in Fq (== params_to_base_field::<Bls12_377>()).  BW6-761's
+    scalar field IS this Fq, so this doubles as get_bw6_fr_params()
+    (parameters.rs:278-307)."""
     return PoseidonParams(P)
+
+
+@lru_cache(maxsize=None)
+def fr_params_381() -> PoseidonParams:
+    """poseidon_params_bls12381() (parameters.rs:341-2585): the rate-1
+    t=2 M=128 alpha=5 instance over BLS12-381 Fr (also the ark-blst
+    scalar-field params, :2603-2624)."""
+    from . import constants_381 as C381
+    from ..fields.bls12_381 import R as R381
+
+    return PoseidonParams(
+        R381,
+        ark=C381.ARK,
+        mds=C381.MDS,
+        full_rounds=C381.FULL_ROUNDS,
+        partial_rounds=C381.PARTIAL_ROUNDS,
+        alpha=C381.ALPHA,
+        rate=C381.RATE,
+        capacity=C381.CAPACITY,
+    )
+
+
+def params_for_curve(curve: str) -> PoseidonParams:
+    """Per-curve scalar-field Poseidon dispatch — the analog of the
+    reference's `PoseidonConfiguration` trait (parameters.rs:2588-2634)."""
+    if curve in ("bls12-377", "bls12_377"):
+        return fr_params()
+    if curve in ("bls12-381", "bls12_381", "blst"):
+        return fr_params_381()
+    raise ValueError(f"unknown curve: {curve}")
 
 
 class PoseidonTranscript:
