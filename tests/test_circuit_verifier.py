@@ -1,0 +1,115 @@
+"""In-circuit sqrt-PST opening verifier (TestudoCommVerifier) tests.
+
+Mirrors the reference fork's check_commit test
+(/root/reference/src/circuit_verifier.rs:595-652): open a small polynomial,
+check the native verifier accepts, then synthesize the Fq constraint
+system over the same data and check it is satisfied — i.e. the in-circuit
+transcript replay, folds, and pairing checks agree with the native path.
+"""
+import os
+import random
+
+import pytest
+
+from testudo_tpu.fields.bls12_377 import R, P
+
+# Each full-gadget build synthesizes ~300k constraints in Python (~minutes
+# on this 2-core host); the happy path always runs, the tamper-rejection
+# rebuilds only under TESTUDO_SLOW_TESTS=1.
+_slow = pytest.mark.skipif(
+    os.environ.get("TESTUDO_SLOW_TESTS") != "1",
+    reason="set TESTUDO_SLOW_TESTS=1 for full-circuit tamper-rejection builds",
+)
+from testudo_tpu.fields.host import Fq12
+from testudo_tpu.poly import dense
+from testudo_tpu.poseidon.transcript import PoseidonTranscript, fq_params
+from testudo_tpu.core import pst, sqrt_pst, circuit_verifier as cv
+
+rng = random.Random(41)
+
+
+@pytest.fixture(scope="module")
+def opening():
+    """A 5-var (odd split, as in the reference test) commit+open+verify."""
+    nv = 5
+    ck, vk = pst.setup(3)
+    Z = [rng.randrange(R) for _ in range(1 << nv)]
+    r = [rng.randrange(R) for _ in range(nv)]
+    table = dense.encode_table(Z)
+    pl = sqrt_pst.Polynomial.from_evaluations(table)
+    v = pl.eval(r)
+    comm_dev, t = pl.commit(ck)
+    tp = PoseidonTranscript(fq_params())
+    U, pst_proof, mipp_proof = pl.open(tp, comm_dev, ck, r, t)
+    tv = PoseidonTranscript(fq_params())
+    assert sqrt_pst.verify(tv, vk, U, r, v, pst_proof, mipp_proof, t)
+    return vk, U, r, v, pst_proof, mipp_proof, t
+
+
+def test_comm_verifier_satisfied(opening):
+    vk, U, r, v, pst_proof, mipp_proof, t = opening
+    cs = cv.build_comm_verifier(vk, U, r, v, pst_proof, mipp_proof, t)
+    assert cs.is_satisfied()
+    # sanity: it is a real circuit, not a stub
+    assert len(cs.constraints) > 10_000
+
+
+@_slow
+def test_comm_verifier_rejects_wrong_value(opening):
+    vk, U, r, v, pst_proof, mipp_proof, t = opening
+    cs = cv.build_comm_verifier(
+        vk, U, r, (v + 1) % R, pst_proof, mipp_proof, t
+    )
+    assert not cs.is_satisfied()
+
+
+@_slow
+def test_comm_verifier_rejects_tampered_gt(opening):
+    vk, U, r, v, pst_proof, mipp_proof, t = opening
+    from dataclasses import replace
+
+    (tl, tr0), rest = mipp_proof.comms_t[0], mipp_proof.comms_t[1:]
+    bad = replace(mipp_proof, comms_t=[(tl * tl, tr0)] + rest)
+    cs = cv.build_comm_verifier(vk, U, r, v, pst_proof, bad, t)
+    assert not cs.is_satisfied()
+
+
+def test_fr_nonnative_gadgets():
+    """The CRT Fr-arithmetic gadgets agree with host arithmetic."""
+    cs = cv.ConstraintSystem(modulus=P)
+    a_val, b_val = rng.randrange(R), rng.randrange(R)
+    a, b = cv.fr_alloc(cs, a_val), cv.fr_alloc(cs, b_val)
+    prod = cv.fr_mul(cs, a, b)
+    assert prod.value == a_val * b_val % R
+    inv = cv.fr_inverse(cs, a)
+    assert inv.value == pow(a_val, -1, R)
+    lin = cv.fr_lincomb(cs, 7, [(3, a), (R - 1, b)])
+    assert lin.value == (7 + 3 * a_val - b_val) % R
+    assert cs.is_satisfied()
+
+
+def test_residue_witness_pairing_check():
+    """FE(miller(P,Q)) == e(P,Q) via the residue-witness equivalence."""
+    from testudo_tpu.curves import host_curve as hc, pairing as pr
+
+    cs = cv.ConstraintSystem(modulus=P)
+    k1, k2 = rng.randrange(1, R), rng.randrange(1, R)
+    p1 = hc.g1_mul(hc.g1_generator(), k1)
+    q1 = hc.g2_mul(hc.g2_generator(), k2)
+    e = pr.pairing(p1, q1)
+    p_var = cv.G1Var.alloc(cs, p1)
+    q_var = cv.G2Var.alloc(cs, q1)
+    e_var = cv.Fq12Var.alloc(cs, e)
+    cv.enforce_pairing_product(cs, [(p_var, q_var)], rhs=e_var)
+    assert cs.is_satisfied()
+
+    # and the == 1 form: e(P, Q) * e(-P, Q) == 1
+    cs2 = cv.ConstraintSystem(modulus=P)
+    pn = hc.g1_neg(p1)
+    cv.enforce_pairing_product(
+        cs2,
+        [(cv.G1Var.alloc(cs2, p1), cv.G2Var.alloc(cs2, q1)),
+         (cv.G1Var.alloc(cs2, pn), cv.G2Var.alloc(cs2, q1))],
+        rhs=None,
+    )
+    assert cs2.is_satisfied()

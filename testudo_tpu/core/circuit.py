@@ -24,9 +24,16 @@ from ..poseidon import constants_377 as C
 
 
 class ConstraintSystem:
-    """Groth16-style R1CS: z = [1, public..., witness...]."""
+    """Groth16-style R1CS: z = [1, public..., witness...].
 
-    def __init__(self):
+    Generic over the constraint field: `modulus` defaults to Fr (the
+    sumcheck-verifier circuit, proven with Groth16 over BLS12-377) but may
+    be Fq for base-field circuits (the TestudoCommVerifier gadget of
+    core/circuit_verifier.py, provable over BW6-761 as in the reference
+    fork, circuit_verifier.rs:133)."""
+
+    def __init__(self, modulus: int = R):
+        self.modulus = modulus
         self.num_pub = 1  # var 0 == ONE
         self.values: List[int] = [1]
         self.witness_start: int | None = None
@@ -38,19 +45,19 @@ class ConstraintSystem:
     def alloc_input(self, value: int) -> "FVar":
         assert self.witness_start is None, "inputs must precede witnesses"
         idx = len(self.values)
-        self.values.append(value % R)
+        self.values.append(value % self.modulus)
         self.num_pub += 1
-        return FVar(self, {idx: 1}, value % R)
+        return FVar(self, {idx: 1}, value % self.modulus)
 
     def alloc_witness(self, value: int) -> "FVar":
         if self.witness_start is None:
             self.witness_start = len(self.values)
         idx = len(self.values)
-        self.values.append(value % R)
-        return FVar(self, {idx: 1}, value % R)
+        self.values.append(value % self.modulus)
+        return FVar(self, {idx: 1}, value % self.modulus)
 
     def constant(self, value: int) -> "FVar":
-        return FVar(self, {0: value % R}, value % R)
+        return FVar(self, {0: value % self.modulus}, value % self.modulus)
 
     # -- constraints --------------------------------------------------------
 
@@ -58,7 +65,7 @@ class ConstraintSystem:
         self.constraints.append((dict(a.lc), dict(b.lc), dict(c.lc)))
 
     def mul(self, a: "FVar", b: "FVar") -> "FVar":
-        out = self.alloc_witness(a.value * b.value % R)
+        out = self.alloc_witness(a.value * b.value % self.modulus)
         self.enforce(a, b, out)
         return out
 
@@ -68,12 +75,13 @@ class ConstraintSystem:
 
     def is_satisfied(self) -> bool:
         z = self.values
+        mod = self.modulus
 
         def ev(lc):
-            return sum(co * z[i] for i, co in lc.items()) % R
+            return sum(co * z[i] for i, co in lc.items()) % mod
 
         return all(
-            ev(a) * ev(b) % R == ev(c) for a, b, c in self.constraints
+            ev(a) * ev(b) % mod == ev(c) for a, b, c in self.constraints
         )
 
     def public_inputs(self) -> List[int]:
@@ -90,10 +98,11 @@ class FVar:
     value: int
 
     def _combine(self, other: "FVar", sign: int) -> "FVar":
+        mod = self.cs.modulus
         lc = dict(self.lc)
         for i, co in other.lc.items():
-            lc[i] = (lc.get(i, 0) + sign * co) % R
-        return FVar(self.cs, lc, (self.value + sign * other.value) % R)
+            lc[i] = (lc.get(i, 0) + sign * co) % mod
+        return FVar(self.cs, lc, (self.value + sign * other.value) % mod)
 
     def __add__(self, other):
         if isinstance(other, int):
@@ -110,8 +119,9 @@ class FVar:
 
     def __mul__(self, other):
         if isinstance(other, int):
-            lc = {i: co * other % R for i, co in self.lc.items()}
-            return FVar(self.cs, lc, self.value * other % R)
+            mod = self.cs.modulus
+            lc = {i: co * other % mod for i, co in self.lc.items()}
+            return FVar(self.cs, lc, self.value * other % mod)
         return self.cs.mul(self, other)
 
     __radd__ = __add__
@@ -124,6 +134,8 @@ class FVar:
 
 
 class PoseidonSpongeGadget:
+    """Mirrors poseidon/sponge.py over the CS field (Fr or Fq params)."""
+
     def __init__(self, cs: ConstraintSystem):
         self.cs = cs
         self.state = [cs.constant(0) for _ in range(C.RATE + C.CAPACITY)]
@@ -139,18 +151,19 @@ class PoseidonSpongeGadget:
         return self.cs.mul(x16, x)
 
     def permute(self) -> None:
+        mod = self.cs.modulus
         state = list(self.state)
         half = C.FULL_ROUNDS // 2
         total = C.FULL_ROUNDS + C.PARTIAL_ROUNDS
         for rnd in range(total):
-            state = [s + (C.ARK[rnd][i] % R) for i, s in enumerate(state)]
+            state = [s + (C.ARK[rnd][i] % mod) for i, s in enumerate(state)]
             if rnd < half or rnd >= half + C.PARTIAL_ROUNDS:
                 state = [self._sbox(s) for s in state]
             else:
                 state[0] = self._sbox(state[0])
             state = [
                 sum(
-                    (s * (C.MDS[i][j] % R) for j, s in enumerate(state)),
+                    (s * (C.MDS[i][j] % mod) for j, s in enumerate(state)),
                     self.cs.constant(0),
                 )
                 for i in range(len(state))
