@@ -2,12 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no numbers (BASELINE.md); `vs_baseline` is reported
-against a 1.0e6 points/sec anchor — the ballpark of a well-tuned multicore
-CPU Pippenger (arkworks/blst class) on BLS12-377 G1, the reference's
-execution environment.
+Methodology (see memory: axon tunnel adds ~50ms dispatch latency and
+~60MB/s argument upload, and block_until_ready does not actually block):
+the K-iteration MSM loop runs INSIDE one jit on device-resident data, and
+per-MSM time is the slope between a small-K and a large-K run, which
+cancels dispatch, upload, and sync costs.  A small host-checked MSM first
+guards against measuring garbage.
 
-Auxiliary timings (sqrt-PST commit/open path pieces) go to stderr.
+The reference publishes no numbers (BASELINE.md); `vs_baseline` is
+reported against a 1.0e6 points/sec anchor — the ballpark of a well-tuned
+multicore CPU Pippenger (arkworks/blst class) on BLS12-377 G1, the
+reference's execution environment.
 """
 import json
 import sys
@@ -20,55 +25,109 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def sync(tree):
+    import jax
+
+    return np.asarray(jax.tree_util.tree_leaves(tree)[0]).ravel()[0]
+
+
+def run_msm_bench(N: int, c: int):
     import jax
     import jax.numpy as jnp
-
-    t0 = time.time()
-    devs = jax.devices()
-    log(f"devices: {devs} (init {time.time()-t0:.1f}s)")
 
     from testudo_tpu.curves import host_curve as hc
     from testudo_tpu.tpu import curve as jc, msm
     from testudo_tpu.tpu.field import FR
+
+    rng = np.random.default_rng(7)
+
+    # correctness guard: small MSM vs host reference
+    t0 = time.time()
+    import random
+
+    prng = random.Random(3)
     from testudo_tpu.fields.bls12_377 import R
 
-    N = 1 << 16
-    c = 16
-    rng = np.random.default_rng(7)
+    ks = [prng.randrange(1, R) for _ in range(32)]
+    small_pts = [hc.g1_mul(hc.g1_generator(), k) for k in ks]
+    small_scl = [prng.randrange(R) for _ in range(32)]
+    got = msm.msm_g1(jc.g1_from_affine_host(small_pts), small_scl)
+    assert got == hc.g1_msm(small_pts, small_scl), "device MSM disagrees with host"
+    log(f"correctness guard ok ({time.time()-t0:.1f}s)")
 
     # generate N pseudorandom points on device via one fixed-base ladder
     t0 = time.time()
     scal_gen = rng.integers(0, 1 << 16, size=(N, FR.nlimbs), dtype=np.uint32)
     scal_gen[:, -1] &= 0x0FFF
     pts = jc.fixed_base_mul_g1(jnp.asarray(scal_gen), hc.g1_generator())
-    jax.block_until_ready(pts)
+    sync(pts)
     log(f"point generation ({N} pts): {time.time()-t0:.1f}s")
 
     scalars = rng.integers(0, 1 << 16, size=(N, FR.nlimbs), dtype=np.uint32)
     scalars[:, -1] &= 0x0FFF
     scal_dev = jnp.asarray(scalars)
 
-    # compile + warm up
-    t0 = time.time()
-    wins = msm._msm_windows("g1", pts, scal_dev, c)
-    jax.block_until_ready(wins)
-    log(f"MSM compile+first: {time.time()-t0:.1f}s")
+    def make_loop(K):
+        @jax.jit
+        def f(p, s):
+            def body(i, carry):
+                acc, sc = carry
+                wins = msm._msm_windows_impl("g1", p, sc, c)
+                leaf = jax.tree_util.tree_leaves(wins)[0]
+                # feed output back into the scalars' low bits: real data
+                # dependence between iterations, no DCE, digits unchanged
+                # in distribution
+                mix = jnp.tile(
+                    leaf.reshape(-1)[: FR.nlimbs], (sc.shape[0], 1)
+                )
+                sc2 = sc ^ (mix & 0x3)
+                return acc + jnp.sum(leaf), sc2
 
-    # timed runs (device phase only; host Horner is O(bits) and excluded
-    # from the throughput metric but reported separately)
-    iters = 3
+            acc, _ = jax.lax.fori_loop(
+                0, K, body, (jnp.uint32(0), s)
+            )
+            return acc
+
+        return f
+
+    K1, K2 = 1, 4
+    f1, f2 = make_loop(K1), make_loop(K2)
     t0 = time.time()
-    for _ in range(iters):
-        wins = msm._msm_windows("g1", pts, scal_dev, c)
-        jax.block_until_ready(wins)
-    dt = (time.time() - t0) / iters
-    pps = N / dt
+    sync(f1(pts, scal_dev))
+    log(f"K={K1} compile+run: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    sync(f2(pts, scal_dev))
+    log(f"K={K2} compile+run: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    sync(f1(pts, scal_dev))
+    t1 = time.time() - t0
+    t0 = time.time()
+    sync(f2(pts, scal_dev))
+    t2 = time.time() - t0
+    per = (t2 - t1) / (K2 - K1)
+    log(f"warm: K={K1} {t1:.2f}s, K={K2} {t2:.2f}s -> {per:.2f}s per MSM")
+    if per <= 0:
+        # noise floor: fall back to the conservative single-run bound
+        per = t2 / K2
+        log(f"slope below noise; using K={K2} bound {per:.2f}s")
+    return N / per
+
+
+def main():
+    import jax
 
     t0 = time.time()
-    res = msm._combine_windows_host(wins, c, "g1")
-    log(f"host window combine: {time.time()-t0:.2f}s; device MSM {dt:.2f}s/run")
-    log(f"throughput: {pps:,.0f} points/s/chip")
+    log(f"devices: {jax.devices()} (init {time.time()-t0:.1f}s)")
+
+    pps = None
+    for N, c in ((1 << 16, 8), (1 << 14, 8)):
+        try:
+            pps = run_msm_bench(N, c)
+            break
+        except Exception as e:  # tunnel faults: retry smaller
+            log(f"bench at N={N} failed ({type(e).__name__}: {e}); retrying smaller")
+    if pps is None:
+        raise SystemExit("all bench configurations failed")
 
     baseline = 1.0e6  # documented anchor (see module docstring)
     print(

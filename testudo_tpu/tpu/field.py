@@ -254,12 +254,40 @@ def _mul_cols(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(lo, cfgl + [(0, 1)]) + jnp.pad(hi, cfgl + [(1, 0)])
 
 
+def _pallas_enabled() -> bool:
+    global _PALLAS_ENABLED
+    if _PALLAS_ENABLED is None:
+        import os
+
+        if os.environ.get("TESTUDO_PALLAS", "1") != "1":
+            _PALLAS_ENABLED = False
+        else:
+            try:
+                _PALLAS_ENABLED = jax.default_backend() != "cpu"
+            except Exception:
+                _PALLAS_ENABLED = False
+    return _PALLAS_ENABLED
+
+
+_PALLAS_ENABLED = None
+
+
 def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product a*b*R^{-1} mod p (non-interleaved, carry-parallel).
 
     Inputs/outputs canonical 16-bit limbs < p (Montgomery domain values).
+    Large batches on TPU dispatch to the fused Pallas kernel
+    (pallas_field.py), which is bit-identical and keeps intermediates in
+    VMEM; the pure-XLA path below remains for CPU and small shapes.
     """
     n = spec.nlimbs
+    batch = 1
+    for d in jnp.broadcast_shapes(a.shape, b.shape)[:-1]:
+        batch *= d
+    if batch >= 512 and _pallas_enabled():
+        from . import pallas_field
+
+        return pallas_field.mont_mul(spec, a, b)
     T = _mul_cols(a, b)  # (..., 2n) relaxed
     Tn = _carry_pp(T, 2 * n)  # canonical 2n limbs of the full product
     # m = (T mod R) * N' mod R

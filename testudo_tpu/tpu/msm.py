@@ -62,16 +62,20 @@ class _G2:
 
 
 def _pick_window(n: int) -> int:
+    # Measured on TPU v5e: c=16 (65536 bucket lanes) generates enormous
+    # padded intermediates in the bucket/weighted-sum phases and runs ~26x
+    # SLOWER than c=8 at n=2^14 (30.7s vs 1.2s), besides tripping tunnel
+    # deadlines on large batches.  c=8 is the sweet spot for every n that
+    # fits one chip; revisit when the Pallas bucket kernel lands.
     if n <= 1 << 6:
         return 4
-    if n <= 1 << 12:
-        return 8
-    return 16
+    return 8
 
 
 def _digits_from_scalars(scalars_canon: jnp.ndarray, c: int) -> jnp.ndarray:
-    """(N, 16) canonical Fr limbs -> (W, N) int32 digit matrix."""
-    nbits = 16 * FR.nlimbs
+    """(N, nlimbs) canonical 16-bit-limb scalars -> (W, N) int32 digits
+    (any scalar width: 16 limbs for Fr, 24 for BW6-761's Fq scalars)."""
+    nbits = 16 * scalars_canon.shape[1]
     w = nbits // c
     limbs = scalars_canon.astype(jnp.int32)
     outs = []
@@ -85,16 +89,28 @@ def _digits_from_scalars(scalars_canon: jnp.ndarray, c: int) -> jnp.ndarray:
 
 def _bucket_accumulate(G, points, dig: jnp.ndarray, nbuckets: int):
     """Sort-by-digit then run-aligned accumulation into per-bucket sums."""
-    n = dig.shape[0]
-    order = jnp.argsort(dig)
-    sd = dig[order]
-    pts = tree_map(lambda coord: coord[order], points)
+    buckets = _bucket_accumulate_all(G, points, dig[None, :], nbuckets)
+    return tree_map(lambda c: c[0], buckets)
+
+
+def _bucket_accumulate_all(G, points, digits: jnp.ndarray, nbuckets: int):
+    """All windows at once: digits (W, N) -> bucket sums (W, nbuckets).
+
+    One while_loop over the global max run length; each iteration adds
+    W * nbuckets lanes in one batched group add (wide enough to engage the
+    Pallas field kernel), instead of W sequential window passes.
+    """
+    W, n = digits.shape
+    order = jnp.argsort(digits, axis=1)
+    sd = jnp.take_along_axis(digits, order, axis=1)
+    pts = tree_map(lambda coord: coord[order], points)  # (W, N, limbs)
     rng = jnp.arange(nbuckets, dtype=sd.dtype)
-    starts = jnp.searchsorted(sd, rng)
-    ends = jnp.searchsorted(sd, rng, side="right")
-    counts = (ends - starts).at[0].set(0)  # bucket 0 has weight 0: skip
+    starts = jax.vmap(lambda row: jnp.searchsorted(row, rng))(sd)
+    ends = jax.vmap(lambda row: jnp.searchsorted(row, rng, side="right"))(sd)
+    counts = (ends - starts).at[:, 0].set(0)  # bucket 0 has weight 0: skip
     max_run = jnp.max(counts)
-    lane = jnp.arange(nbuckets)
+    lane = jnp.arange(nbuckets)[None, :]
+    widx = jnp.arange(W)[:, None]
 
     def cond(state):
         t, _ = state
@@ -102,14 +118,14 @@ def _bucket_accumulate(G, points, dig: jnp.ndarray, nbuckets: int):
 
     def body(state):
         t, acc = state
-        idx = jnp.clip(starts + t, 0, n - 1)
-        pt = tree_map(lambda coord: coord[idx], pts)
+        idx = jnp.clip(starts + t, 0, n - 1)  # (W, nbuckets)
+        pt = tree_map(lambda coord: coord[widx, idx], pts)
         valid = (t < counts) & (lane > 0)
         acc = G.select(valid, G.add(acc, pt), acc)
         return t + 1, acc
 
     _, buckets = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), G.identity((nbuckets,)))
+        cond, body, (jnp.int32(0), G.identity((W, nbuckets)))
     )
     return buckets
 
@@ -176,16 +192,22 @@ def _weighted_bucket_sum(G, buckets, c: int):
     return jax.lax.fori_loop(1, groups_left, red2_body, first)
 
 
-def _msm_windows_impl(group_name: str, points, scalars_canon: jnp.ndarray, c: int):
-    G = _G1 if group_name == "g1" else _G2
+def _resolve_group(group):
+    """A group key: 'g1'/'g2' (BLS12-377), or any hashable object with the
+    G interface (e.g. curve_generic.FpGroup for BW6-761)."""
+    if group == "g1":
+        return _G1
+    if group == "g2":
+        return _G2
+    return group
+
+
+def _msm_windows_impl(group_name, points, scalars_canon: jnp.ndarray, c: int):
+    G = _resolve_group(group_name)
     digits = _digits_from_scalars(scalars_canon, c)  # (W, N)
     nbuckets = 1 << c
-
-    def one_window(dig):
-        buckets = _bucket_accumulate(G, points, dig, nbuckets)
-        return _weighted_bucket_sum(G, buckets, c)
-
-    return jax.lax.map(one_window, digits)
+    buckets = _bucket_accumulate_all(G, points, digits, nbuckets)
+    return jax.vmap(lambda b: _weighted_bucket_sum(G, b, c))(buckets)
 
 
 _msm_windows = partial(jax.jit, static_argnums=(0, 3))(_msm_windows_impl)
@@ -206,11 +228,11 @@ def _horner_combine_device(G, wins, c: int):
 
 
 @partial(jax.jit, static_argnums=(0, 3))
-def _multi_msm_device(group_name: str, points, scalars_canon: jnp.ndarray, c: int):
+def _multi_msm_device(group_name, points, scalars_canon: jnp.ndarray, c: int):
     """Many MSMs over one shared basis: scalars (K, N, limbs) -> K
     projective points, fully on device (used by the sqrt-PST column
     commitments, sqrt_pst.rs:120-126)."""
-    G = _G1 if group_name == "g1" else _G2
+    G = _resolve_group(group_name)
 
     def one(scal):
         wins = _msm_windows_impl(group_name, points, scal, c)
@@ -287,3 +309,28 @@ def msm_g2(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
     points, scal = _pad_pow2(points, scal)
     windows = _msm_windows("g2", points, scal, c)
     return _combine_windows_host(windows, c, "g2")
+
+
+# ---------------------------------------------------------------------------
+# Generic prime-field groups (BW6-761 etc., tpu/curve_generic.py)
+# ---------------------------------------------------------------------------
+
+
+def msm_fp(G, host_add, points, scalars_canon: jnp.ndarray, c: int | None = None):
+    """MSM for a generic FpGroup: device projective points x canonical
+    16-bit-limb scalars (any width) -> host affine result.
+
+    `G` must be hashable (it keys the jit cache); `host_add` is the host
+    affine addition for the final O(bits) Horner combine."""
+    if c is None:
+        c = _pick_window(scalars_canon.shape[0])
+    points, scal = _pad_pow2(points, scalars_canon)
+    windows = _msm_windows(G, points, scal, c)
+    pts = G.to_affine_host(windows)
+    acc = None
+    for pt in reversed(pts):
+        if acc is not None:
+            for _ in range(c):
+                acc = host_add(acc, acc)
+        acc = host_add(acc, pt)
+    return acc
