@@ -112,6 +112,162 @@ def _pull(evals_dev) -> List[int]:
     return FR.decode(np.asarray(evals_dev))
 
 
+# -- fused single-dispatch provers ------------------------------------------
+#
+# Through the axon tunnel every host<->device round trip costs ~50 ms and
+# the looped provers below do two per round.  The fused variants run ALL
+# rounds — round kernels, table folds, and the Poseidon transcript itself
+# (tpu/sponge.py) — inside one jit, so a whole sumcheck is one dispatch.
+# Transcript bit-exactness with the host path is guaranteed by the
+# Montgomery-domain permutation equivalence and is covered by tests.
+
+import os as _os
+
+from ..tpu import sponge as dsponge
+
+_TWO_INV = pow(2, -1, R)
+_SIX_INV = pow(6, -1, R)
+
+
+def _fused_enabled() -> bool:
+    return _os.environ.get("TESTUDO_FUSED_SUMCHECK", "1") == "1"
+
+
+def _mont_const(x: int) -> jnp.ndarray:
+    return jnp.asarray(FR.encode(x % R))
+
+
+def _unipoly_coeffs_dev(evals: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Device mirror of UniPoly.from_evals (unipoly.rs:26-49)."""
+    fadd = lambda a, b: jf.add(FR, a, b)
+    fsub = lambda a, b: jf.sub(FR, a, b)
+    fmul = lambda a, b: jf.mont_mul(FR, a, b)
+    if len(evals) == 3:
+        e0, e1, e2 = evals
+        c = e0
+        a = fmul(_mont_const(_TWO_INV), fsub(fadd(fsub(e2, e1), c), e1))
+        b = fsub(fsub(e1, c), a)
+        return [c, b, a]
+    e0, e1, e2, e3 = evals
+    d = e0
+    t3 = lambda x: fadd(fadd(x, x), x)
+    a = fmul(
+        _mont_const(_SIX_INV), fsub(fadd(t3(e1), e3), fadd(t3(e2), e0))
+    )
+    b = fmul(
+        _mont_const(_TWO_INV),
+        fsub(fadd(fadd(e0, e0), fadd(t3(e2), e2)), fadd(fadd(t3(e1), fadd(e1, e1)), e3)),
+    )
+    c = fsub(fsub(fsub(e1, d), a), b)
+    return [d, c, b, a]
+
+
+def _horner_dev(coeffs: List[jnp.ndarray], r: jnp.ndarray) -> jnp.ndarray:
+    acc = coeffs[-1]
+    for c in reversed(coeffs[:-1]):
+        acc = jf.add(FR, jf.mont_mul(FR, acc, r), c)
+    return acc
+
+
+def _simulate_schedule(mode: int, index: int, num_rounds: int, ncoeffs: int):
+    """Static replay of the sponge mode machine for the sumcheck schedule
+    (absorb ncoeffs elems then squeeze 1, per round)."""
+    from ..poseidon import constants_377 as C
+
+    for _ in range(num_rounds):
+        # absorb ncoeffs
+        if mode == 1 or index == C.RATE:
+            index = 0
+        mode = 0
+        for _ in range(ncoeffs):
+            if index == C.RATE:
+                index = 0
+            index += 1
+        # squeeze 1
+        if mode == 0 or index == C.RATE:
+            index = 0
+        mode = 1
+        if index == C.RATE:
+            index = 0
+        index += 1
+    return mode, index
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _fused_prover_fn(kind: str, num_rounds: int, modulus: int, mode0: int,
+                     index0: int):
+    """One-dispatch sumcheck prover: returns a jitted fn taking
+    (tables..., state0, e0) -> (coeffs, rs, claims, final_state)."""
+    ntab = {"quad": 2, "cubic_tau": 4, "cubic": 3}[kind]
+    ncoeffs = 3 if kind == "quad" else 4
+
+    def fn(tables, state0, e0):
+        tables = list(tables)
+        sp = dsponge.DeviceSponge(
+            dsponge._spec_of(modulus), state0, mode0, index0
+        )
+        dt = dsponge.DeviceTranscript(sp)
+        e = e0
+        all_coeffs, all_rs = [], []
+        for _ in range(num_rounds):
+            if kind == "quad":
+                ev = _round_evals_quad(tables[0], tables[1])
+                evals = [ev[0], jf.sub(FR, e, ev[0]), ev[1]]
+            elif kind == "cubic_tau":
+                ev = _round_evals_cubic_tau(*tables)
+                evals = [ev[0], jf.sub(FR, e, ev[0]), ev[1], ev[2]]
+            else:
+                ev = _round_evals_cubic_prod(*tables)
+                evals = [ev[0], jf.sub(FR, e, ev[0]), ev[1], ev[2]]
+            coeffs = _unipoly_coeffs_dev(evals)
+            for c in coeffs:
+                dt.append_fr_mont(c)
+            r = dt.challenge_fr_mont()
+            tables = [dense.bound_top(t, r) for t in tables]
+            e = _horner_dev(coeffs, r)
+            all_coeffs.append(jnp.stack(coeffs))
+            all_rs.append(r)
+        claims = jnp.stack([t[0] for t in tables])
+        return (
+            jnp.stack(all_coeffs),  # (rounds, ncoeffs, nlimbs)
+            jnp.stack(all_rs),  # (rounds, nlimbs)
+            claims,  # (ntab, nlimbs)
+            dt.sponge.state,
+        )
+
+    jitted = jax.jit(fn)
+    final_mode, final_index = _simulate_schedule(
+        mode0, index0, num_rounds, ncoeffs
+    )
+    return jitted, final_mode, final_index
+
+
+def _prove_fused(kind: str, claim: int, num_rounds: int, tables, transcript):
+    modulus = transcript.params.modulus
+    sp = transcript.sponge
+    fn, fmode, findex = _fused_prover_fn(
+        kind, num_rounds, modulus, sp.mode, sp.index
+    )
+    spec = dsponge._spec_of(modulus)
+    state0 = jnp.asarray(spec.encode(list(sp.state)))
+    e0 = jnp.asarray(FR.encode(claim % R))
+    coeffs_d, rs_d, claims_d, state_d = fn(tuple(tables), state0, e0)
+    ncoeffs = coeffs_d.shape[1]
+    coeffs = FR.decode(np.asarray(coeffs_d).reshape(-1, FR.nlimbs))
+    rs = FR.decode(np.asarray(rs_d))
+    claims = FR.decode(np.asarray(claims_d))
+    sp.state = spec.decode(np.asarray(state_d))
+    sp.mode, sp.index = fmode, findex
+    polys = [
+        UniPoly(coeffs[i * ncoeffs : (i + 1) * ncoeffs])
+        for i in range(num_rounds)
+    ]
+    return SumcheckInstanceProof(polys), rs, claims
+
+
 # -- provers ----------------------------------------------------------------
 
 
@@ -125,6 +281,10 @@ def prove_cubic_with_additive_term(
     transcript,
 ) -> Tuple[SumcheckInstanceProof, List[int], List[int]]:
     """Phase-1 Spartan sumcheck over tau * (A*B - C) (sumcheck.rs:67-148)."""
+    if _fused_enabled():
+        return _prove_fused(
+            "cubic_tau", claim, num_rounds, (tau, A, B, C), transcript
+        )
     e = claim % R
     rs: List[int] = []
     polys: List[UniPoly] = []
@@ -151,6 +311,8 @@ def prove_quad(
     transcript,
 ) -> Tuple[SumcheckInstanceProof, List[int], List[int]]:
     """Phase-2 Spartan sumcheck over A*B (sumcheck.rs:387-443)."""
+    if _fused_enabled():
+        return _prove_fused("quad", claim, num_rounds, (A, B), transcript)
     e = claim % R
     rs: List[int] = []
     polys: List[UniPoly] = []
@@ -178,6 +340,8 @@ def prove_cubic(
     transcript,
 ) -> Tuple[SumcheckInstanceProof, List[int], List[int]]:
     """Product sumcheck over A*B*C (sumcheck.rs:149-218)."""
+    if _fused_enabled():
+        return _prove_fused("cubic", claim, num_rounds, (A, B, C), transcript)
     e = claim % R
     rs: List[int] = []
     polys: List[UniPoly] = []
