@@ -64,6 +64,20 @@ class ConstraintSystem:
     def enforce(self, a: "FVar", b: "FVar", c: "FVar") -> None:
         self.constraints.append((dict(a.lc), dict(b.lc), dict(c.lc)))
 
+    def lincomb(self, terms, const: int = 0) -> "FVar":
+        """n-ary linear combination sum(coef * fv) + const, merging all the
+        lc dicts in one pass (the pairwise `+` fold is quadratic in the
+        number of terms and dominates large gadget builds)."""
+        mod = self.modulus
+        lc: Dict[int, int] = {0: const % mod} if const else {}
+        val = const
+        for coef, fv in terms:
+            val += coef * fv.value
+            for i, co in fv.lc.items():
+                x = lc.get(i, 0) + coef * co
+                lc[i] = x % mod
+        return FVar(self, lc, val % mod)
+
     def mul(self, a: "FVar", b: "FVar") -> "FVar":
         out = self.alloc_witness(a.value * b.value % self.modulus)
         self.enforce(a, b, out)
@@ -162,9 +176,8 @@ class PoseidonSpongeGadget:
             else:
                 state[0] = self._sbox(state[0])
             state = [
-                sum(
-                    (s * (C.MDS[i][j] % mod) for j, s in enumerate(state)),
-                    self.cs.constant(0),
+                self.cs.lincomb(
+                    [(C.MDS[i][j] % mod, s) for j, s in enumerate(state)]
                 )
                 for i in range(len(state))
             ]

@@ -87,10 +87,7 @@ def bits_lc(cs: ConstraintSystem, bits: Sequence[FVar], lo: int = 0,
             hi: Optional[int] = None) -> FVar:
     """Linear combination sum bits[lo:hi] * 2^(i-lo) (no constraints)."""
     hi = len(bits) if hi is None else hi
-    acc = cs.constant(0)
-    for i in range(lo, hi):
-        acc = acc + bits[i] * (1 << (i - lo))
-    return acc
+    return cs.lincomb([(1 << (i - lo), bits[i]) for i in range(lo, hi)])
 
 
 def alloc_bits(cs: ConstraintSystem, value: int, nbits: int) -> List[FVar]:
@@ -118,12 +115,18 @@ class FrVar:
 
     bits: List[FVar]
     value: int
+    _lc: FVar = None
+    _lo_lc: FVar = None
 
     def lc(self, cs) -> FVar:
-        return bits_lc(cs, self.bits)
+        if self._lc is None:
+            self._lc = bits_lc(cs, self.bits)
+        return self._lc
 
     def lo_lc(self, cs) -> FVar:
-        return bits_lc(cs, self.bits[:_T])
+        if self._lo_lc is None:
+            self._lo_lc = bits_lc(cs, self.bits[:_T])
+        return self._lo_lc
 
 
 def fr_alloc(cs: ConstraintSystem, value: int) -> FrVar:

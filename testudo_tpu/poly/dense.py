@@ -23,6 +23,7 @@ import numpy as np
 
 from ..fields.bls12_377 import R
 from ..tpu import field as jf
+from ..tpu.jitutil import eager_jit
 from ..tpu.field import FR
 
 
@@ -59,6 +60,7 @@ def bound_bot(Z: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     return jf.add(FR, lo, jf.mont_mul(FR, jf.sub(FR, hi, lo), r))
 
 
+@eager_jit
 def eq_evals_device(rs: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """chi table over {0,1}^len(rs), MSB-first (device Montgomery scalars).
 
@@ -79,11 +81,14 @@ def eq_evals(point: Sequence[int]) -> jnp.ndarray:
     return eq_evals_device([encode_scalar(x) for x in point])
 
 
+@eager_jit
+def _dot(Z: jnp.ndarray, chis: jnp.ndarray) -> jnp.ndarray:
+    return jf.reduce_sum(FR, jf.mont_mul(FR, Z, chis))
+
+
 def evaluate(Z: jnp.ndarray, point: Sequence[int]) -> int:
     """Z~(point) in O(n): dot(Z, chi(point)); returns a canonical host int."""
-    chis = eq_evals(point)
-    prods = jf.mont_mul(FR, Z, chis)
-    return decode_scalar(jf.reduce_sum(FR, prods))
+    return decode_scalar(_dot(Z, eq_evals(point)))
 
 
 def eq_evaluate(r: Sequence[int], rx: Sequence[int]) -> int:
@@ -104,6 +109,7 @@ def factored_lens(ell: int):
     return ell // 2, ell - ell // 2
 
 
+@eager_jit
 def bound_L(Z: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
     """Vector-matrix product: out[i] = sum_j L[j] Z[j * R_size + i]
     (dense_mlpoly.rs:379-387)."""
@@ -114,6 +120,7 @@ def bound_L(Z: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
     return jf.reduce_sum(FR, prods, axis=0)
 
 
+@eager_jit
 def merge_tables(tables: List[jnp.ndarray]) -> jnp.ndarray:
     """Concatenate then zero-pad to a power of two (dense_mlpoly.rs:431-444)."""
     total = sum(t.shape[0] for t in tables)

@@ -21,7 +21,11 @@ def enable_compilation_cache() -> None:
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Persist EVERYTHING: on the remote-TPU backend even a trivial
+        # primitive costs ~0.35s to compile, and protocol paths touch
+        # hundreds of small ops — sub-second entries are exactly the ones
+        # that must not recompile in every process.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass

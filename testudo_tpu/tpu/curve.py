@@ -25,6 +25,7 @@ from ..fields.bls12_377 import P
 from ..fields.host import Fq2 as HostFq2
 from ..curves.host_curve import B2
 from . import field as jf
+from .jitutil import eager_jit
 from .field import FQ
 
 # b3 = 3*b for G1 (b = 1)
@@ -39,14 +40,17 @@ Fq2Dev = Tuple[jnp.ndarray, jnp.ndarray]
 _QNR = P - 5  # u^2 = -5
 
 
+@eager_jit
 def fq2_add(a: Fq2Dev, b: Fq2Dev) -> Fq2Dev:
     return (jf.add(FQ, a[0], b[0]), jf.add(FQ, a[1], b[1]))
 
 
+@eager_jit
 def fq2_sub(a: Fq2Dev, b: Fq2Dev) -> Fq2Dev:
     return (jf.sub(FQ, a[0], b[0]), jf.sub(FQ, a[1], b[1]))
 
 
+@eager_jit
 def fq2_neg(a: Fq2Dev) -> Fq2Dev:
     return (jf.neg(FQ, a[0]), jf.neg(FQ, a[1]))
 
@@ -61,6 +65,7 @@ def _qnr_limbs():
     return _QNR_LIMBS
 
 
+@eager_jit
 def fq2_mul(a: Fq2Dev, b: Fq2Dev) -> Fq2Dev:
     t0 = jf.mont_mul(FQ, a[0], b[0])
     t1 = jf.mont_mul(FQ, a[1], b[1])
@@ -70,6 +75,7 @@ def fq2_mul(a: Fq2Dev, b: Fq2Dev) -> Fq2Dev:
     return (c0, c1)
 
 
+@eager_jit
 def fq2_select(cond, a: Fq2Dev, b: Fq2Dev) -> Fq2Dev:
     return (jf.select(cond, a[0], b[0]), jf.select(cond, a[1], b[1]))
 
@@ -231,44 +237,54 @@ def _complete_double(F, p):
 # -- public wrappers --------------------------------------------------------
 
 
+@eager_jit
 def g1_add(p1, p2):
     return _complete_add(_G1Ops, p1, p2)
 
 
+@eager_jit
 def g1_double(p):
     return _complete_double(_G1Ops, p)
 
 
+@eager_jit
 def g1_neg(p):
     return (p[0], jf.neg(FQ, p[1]), p[2])
 
 
+@eager_jit
 def g1_select(cond, p1, p2):
     return tuple(jf.select(cond, a, b) for a, b in zip(p1, p2))
 
 
+@eager_jit(static_argnums=(0,))
 def g1_identity(batch_shape=()):
     z = jnp.zeros(batch_shape + (FQ.nlimbs,), jnp.uint32)
     one = jnp.broadcast_to(jf.const_array(FQ, 1), batch_shape + (FQ.nlimbs,))
     return (z, one, jnp.zeros(batch_shape + (FQ.nlimbs,), jnp.uint32))
 
 
+@eager_jit
 def g2_add(p1, p2):
     return _complete_add(_G2Ops, p1, p2)
 
 
+@eager_jit
 def g2_double(p):
     return _complete_double(_G2Ops, p)
 
 
+@eager_jit
 def g2_neg(p):
     return (p[0], fq2_neg(p[1]), p[2])
 
 
+@eager_jit
 def g2_select(cond, p1, p2):
     return tuple(fq2_select(cond, a, b) for a, b in zip(p1, p2))
 
 
+@eager_jit(static_argnums=(0,))
 def g2_identity(batch_shape=()):
     def z():
         return jnp.zeros(batch_shape + (FQ.nlimbs,), jnp.uint32)
@@ -448,11 +464,26 @@ def _scalar_bits_dev(scalar_canon: jnp.ndarray):
     return bit
 
 
-def scalar_mul_batch_g1(points, scalar_canon: jnp.ndarray):
-    """[c] * P_i for one (dynamic) scalar applied to a whole point batch.
+_LADDER_PAD = 64  # fixed lane count for small batches: one trace/executable
 
-    LSB-first double-free: acc += bit_i ? base : 0; base = 2*base.
-    """
+
+def _pad_point_batch(points, target: int):
+    n = jax.tree_util.tree_leaves(points)[0].shape[0]
+    if n >= target:
+        return points, n
+    return (
+        jax.tree_util.tree_map(
+            lambda c: jnp.concatenate(
+                [c, jnp.zeros((target - n,) + c.shape[1:], c.dtype)], axis=0
+            ),
+            points,
+        ),
+        n,
+    )
+
+
+@eager_jit
+def _scalar_mul_ladder_g1(points, scalar_canon: jnp.ndarray):
     bit = _scalar_bits_dev(scalar_canon)
     n = points[0].shape[0]
 
@@ -465,7 +496,8 @@ def scalar_mul_batch_g1(points, scalar_canon: jnp.ndarray):
     return acc
 
 
-def scalar_mul_batch_g2(points, scalar_canon: jnp.ndarray):
+@eager_jit
+def _scalar_mul_ladder_g2(points, scalar_canon: jnp.ndarray):
     bit = _scalar_bits_dev(scalar_canon)
     n = points[0][0].shape[0]
 
@@ -476,3 +508,21 @@ def scalar_mul_batch_g2(points, scalar_canon: jnp.ndarray):
 
     acc, _ = jax.lax.fori_loop(0, 16 * 16, body, (g2_identity((n,)), points))
     return acc
+
+
+def scalar_mul_batch_g1(points, scalar_canon: jnp.ndarray):
+    """[c] * P_i for one (dynamic) scalar applied to a whole point batch.
+
+    LSB-first double-free: acc += bit_i ? base : 0; base = 2*base.
+    Small batches pad to a fixed lane count so every call shape-shares one
+    jitted ladder (pad lanes stay lane-local garbage and are sliced off).
+    """
+    padded, n = _pad_point_batch(points, _LADDER_PAD)
+    acc = _scalar_mul_ladder_g1(padded, scalar_canon)
+    return jax.tree_util.tree_map(lambda c: c[:n], acc)
+
+
+def scalar_mul_batch_g2(points, scalar_canon: jnp.ndarray):
+    padded, n = _pad_point_batch(points, _LADDER_PAD)
+    acc = _scalar_mul_ladder_g2(padded, scalar_canon)
+    return jax.tree_util.tree_map(lambda c: c[:n], acc)

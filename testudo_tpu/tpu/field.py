@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields.bls12_377 import P, R
+from .jitutil import eager_jit
 
 LIMB_BITS = 16
 MASK = (1 << LIMB_BITS) - 1
@@ -203,6 +204,7 @@ def _cond_sub_p(spec: "FieldSpec", a: jnp.ndarray, force=None) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@eager_jit(static_argnums=(0,))
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a + b) mod p for canonical-limb inputs."""
     n = spec.nlimbs
@@ -215,6 +217,7 @@ def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(need[..., None], diff, lo)
 
 
+@eager_jit(static_argnums=(0,))
 def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a - b) mod p for canonical-limb inputs."""
     n = spec.nlimbs
@@ -223,6 +226,7 @@ def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(borrow[..., None], fixed, diff)
 
 
+@eager_jit(static_argnums=(0,))
 def neg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return sub(spec, jnp.zeros_like(a), a)
 
@@ -272,6 +276,7 @@ def _pallas_enabled() -> bool:
 _PALLAS_ENABLED = None
 
 
+@eager_jit(static_argnums=(0,))
 def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product a*b*R^{-1} mod p (non-interleaved, carry-parallel).
 
@@ -308,10 +313,12 @@ def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(need[..., None], diff, lo)
 
 
+@eager_jit(static_argnums=(0,))
 def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return mont_mul(spec, a, a)
 
 
+@eager_jit(static_argnums=(0, 2))
 def pow_fixed(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
     """a^e (Montgomery domain in and out), e a static Python int; runs a
     fori_loop over exponent bits so the graph holds one square-multiply."""
@@ -338,6 +345,7 @@ def inv(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return pow_fixed(spec, a, spec.modulus - 2)
 
 
+@eager_jit(static_argnums=(0,), static_argnames=("axis",))
 def reduce_sum(spec: FieldSpec, a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     """Sum of field elements along `axis` (mod p), Montgomery-domain safe."""
     if axis != 0:
@@ -377,6 +385,7 @@ def _fold_wide(spec: FieldSpec, t: jnp.ndarray) -> jnp.ndarray:
     return add(spec, lo_red, hi_red)
 
 
+@eager_jit
 def select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(cond[..., None], a, b)
 
@@ -389,5 +398,6 @@ def const_array(spec: FieldSpec, value, mont: bool = True) -> jnp.ndarray:
     raise TypeError(value)
 
 
+@eager_jit(static_argnums=(0,))
 def is_zero(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(a == 0, axis=-1)

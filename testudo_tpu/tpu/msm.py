@@ -192,6 +192,58 @@ def _weighted_bucket_sum(G, buckets, c: int):
     return jax.lax.fori_loop(1, groups_left, red2_body, first)
 
 
+_SMALL_N = 64  # below this, Pippenger's graph costs more to trace than to run
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _msm_small_device(group_name, points, scalars_canon: jnp.ndarray):
+    """Tiny-batch MSM: per-lane double-and-add ladder + tree reduction.
+
+    One small graph for ALL small MSMs (inputs are padded to _SMALL_N), so
+    the protocol's many tiny MSMs (MIPP halving rounds, PST opening
+    quotients) never re-trace the full Pippenger pipeline — on this host
+    tracing that graph costs ~25 s per shape, far more than running it.
+    """
+    G = _resolve_group(group_name)
+    n = jax.tree_util.tree_leaves(points)[0].shape[0]
+    nbits = 16 * scalars_canon.shape[1]
+
+    def body(i, state):
+        acc, base = state
+        bit = jc._bit_of(scalars_canon, i)
+        acc = G.select(bit == 1, G.add(acc, base), acc)
+        return acc, G.double(base)
+
+    acc, _ = jax.lax.fori_loop(
+        0, nbits, body, (G.identity((n,)), points)
+    )
+    while n > 1:
+        half = n // 2
+        acc = G.add(
+            tree_map(lambda c: c[:half], acc),
+            tree_map(lambda c: c[half:], acc),
+        )
+        n = half
+    return tree_map(lambda c: c[0], acc)
+
+
+def _pad_to(points, scal: jnp.ndarray, target: int):
+    n = scal.shape[0]
+    if n == target:
+        return points, scal
+    padn = target - n
+    scal = jnp.concatenate(
+        [scal, jnp.zeros((padn, scal.shape[1]), scal.dtype)], axis=0
+    )
+    points = tree_map(
+        lambda coord: jnp.concatenate(
+            [coord, jnp.zeros((padn,) + coord.shape[1:], coord.dtype)], axis=0
+        ),
+        points,
+    )
+    return points, scal
+
+
 def _resolve_group(group):
     """A group key: 'g1'/'g2' (BLS12-377), or any hashable object with the
     G interface (e.g. curve_generic.FpGroup for BW6-761)."""
@@ -233,6 +285,22 @@ def _multi_msm_device(group_name, points, scalars_canon: jnp.ndarray, c: int):
     projective points, fully on device (used by the sqrt-PST column
     commitments, sqrt_pst.rs:120-126)."""
     G = _resolve_group(group_name)
+    if scalars_canon.shape[1] <= _SMALL_N:
+        padn = _SMALL_N - scalars_canon.shape[1]
+        if padn:
+            scalars_canon = jnp.pad(scalars_canon, ((0, 0), (0, padn), (0, 0)))
+            points = tree_map(
+                lambda coord: jnp.concatenate(
+                    [coord, jnp.zeros((padn,) + coord.shape[1:], coord.dtype)],
+                    axis=0,
+                ),
+                points,
+            )
+        # lax.map, not vmap: the curve layer's stacked-mul batching assumes
+        # unbatched lane layouts; map traces the ladder once, unbatched.
+        return jax.lax.map(
+            lambda s: _msm_small_device(group_name, points, s), scalars_canon
+        )
 
     def one(scal):
         wins = _msm_windows_impl(group_name, points, scal, c)
@@ -295,6 +363,9 @@ def msm_g1(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
     `scalars` are host ints or canonical-form (non-Montgomery) Fr limbs.
     """
     scal = _prep_scalars(scalars)
+    if scal.shape[0] <= _SMALL_N:
+        points, scal = _pad_to(points, scal, _SMALL_N)
+        return jc.g1_to_affine_host(_msm_small_device("g1", points, scal))[0]
     if c is None:
         c = _pick_window(scal.shape[0])
     points, scal = _pad_pow2(points, scal)
@@ -304,6 +375,9 @@ def msm_g1(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
 
 def msm_g2(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
     scal = _prep_scalars(scalars)
+    if scal.shape[0] <= _SMALL_N:
+        points, scal = _pad_to(points, scal, _SMALL_N)
+        return jc.g2_to_affine_host(_msm_small_device("g2", points, scal))[0]
     if c is None:
         c = _pick_window(scal.shape[0])
     points, scal = _pad_pow2(points, scal)
@@ -322,6 +396,9 @@ def msm_fp(G, host_add, points, scalars_canon: jnp.ndarray, c: int | None = None
 
     `G` must be hashable (it keys the jit cache); `host_add` is the host
     affine addition for the final O(bits) Horner combine."""
+    if scalars_canon.shape[0] <= _SMALL_N:
+        points, scal = _pad_to(points, scalars_canon, _SMALL_N)
+        return G.to_affine_host(_msm_small_device(G, points, scal))[0]
     if c is None:
         c = _pick_window(scalars_canon.shape[0])
     points, scal = _pad_pow2(points, scalars_canon)
