@@ -1,0 +1,528 @@
+"""Fused Pallas TPU kernels for complete EC group operations.
+
+Round-1 measured the MSM at 0.72% of target: every RCB16 point add ran as
+~100 separate XLA/Pallas dispatches (one pallas_call per mont_mul, XLA ops
+for adds/carries) with an HBM round trip between every field op.  These
+kernels execute ENTIRE group operations — 12 Montgomery muls plus all the
+adds/subs/selects of the complete-addition formulas — in one pallas_call,
+with every intermediate in VMEM.
+
+Layout: "packed rows".  A batch of L points is one (3*ncomp*n, L) uint32
+array — coordinate-major, limb rows on sublanes, batch on lanes — so each
+limb row is a fully occupied (8, 128)-tiled VPU vector and no transposes
+happen anywhere inside a kernel.  ncomp = 1 for G1 (Fq coords), 2 for G2
+(Fq2 coords as (c0, c1)).
+
+Kernels (each one launch per batch tile):
+  add_mask(acc, pts, mask)   -> mask ? acc+pts : acc        [bucket phase]
+  step(acc, base, mask)      -> (mask ? acc+base : acc, 2*base)
+                                                  [double-and-add chains]
+  scan2(run, tot, bl)        -> (run+bl, tot+run+bl)  [weighted bucket scan]
+  add2(a, b)                 -> a+b                        [tree reductions]
+  ladder(points, scalars)    -> full 256-bit per-lane MSM ladder
+                                                  [small MSMs, batch muls]
+
+The field math reuses pallas_field's row helpers (ripple carries, constant
+conditional subtract) and the group law reuses tpu.curve's staged RCB16
+`_complete_add`/`_complete_double` evaluated over a row-ops namespace, so
+results are bit-identical to the XLA path (tested in tests/test_pallas_curve).
+
+Reference hot sites these serve: ark-ec VariableBaseMSM (sqrt_pst.rs:124,
+198; mipp.rs:77-85), MIPP compression folds (mipp.rs:110-114).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .field import LIMB_BITS, MASK, FieldSpec
+from .pallas_field import _carry_ripple_rows, _cond_sub_p_rows, _limbs_of, _mont_mul_rows
+from . import curve as jc
+
+
+def _interpret() -> bool:
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
+# ---------------------------------------------------------------------------
+# Row-layout modular arithmetic (field element = list of n (L,) u32 rows)
+# ---------------------------------------------------------------------------
+
+
+def _add_rows_mod(a, b, p_limbs):
+    n = len(p_limbs)
+    rows, carry = _carry_ripple_rows([a[k] + b[k] for k in range(n)], n)
+    return _cond_sub_p_rows(rows, carry, p_limbs)
+
+
+def _sub_rows_mod(a, b, p_limbs):
+    n = len(p_limbs)
+    diff = []
+    borrow = None
+    for k in range(n):
+        v = a[k] + np.uint32(1 << LIMB_BITS) - b[k]
+        if borrow is not None:
+            v = v - borrow
+        diff.append(v & MASK)
+        borrow = 1 - (v >> LIMB_BITS)  # 1 if a borrow was taken
+    fixed, _ = _carry_ripple_rows(
+        [diff[k] + np.uint32(p_limbs[k]) for k in range(n)], n
+    )
+    need = borrow != 0
+    return [jnp.where(need, f, d) for f, d in zip(fixed, diff)]
+
+
+def _select_rows(cond, a, b):
+    return [jnp.where(cond, x, y) for x, y in zip(a, b)]
+
+
+def _mul_rows(a, b, n, p_limbs, npr_limbs):
+    return _mont_mul_rows(jnp.stack(a), jnp.stack(b), n, p_limbs, npr_limbs)
+
+
+class _RowOpsFq:
+    """curve._complete_add/_complete_double ops namespace over limb rows."""
+
+    def __init__(self, n, p_limbs, npr_limbs):
+        self.n = n
+        self.p = p_limbs
+        self.npr = npr_limbs
+
+    def add(self, a, b):
+        return _add_rows_mod(a, b, self.p)
+
+    def sub(self, a, b):
+        return _sub_rows_mod(a, b, self.p)
+
+    def mul_many(self, pairs):
+        return [_mul_rows(a, b, self.n, self.p, self.npr) for a, b in pairs]
+
+    def mul_b3(self, x):
+        # b = 1 for BLS12-377 G1: 3x via two additions
+        return _add_rows_mod(_add_rows_mod(x, x, self.p), x, self.p)
+
+    def mul_b3_pair(self, x, y):
+        return self.mul_b3(x), self.mul_b3(y)
+
+    def select(self, c, a, b):
+        return _select_rows(c, a, b)
+
+
+class _RowOpsFq2:
+    """Fq2 = Fq[u]/(u^2 + 5) row ops (matches tpu.curve fq2_* semantics)."""
+
+    def __init__(self, n, p_limbs, npr_limbs, b3_k_limbs):
+        self.fq = _RowOpsFq(n, p_limbs, npr_limbs)
+        self.b3_k = b3_k_limbs  # k = -3/5 mod p, Montgomery form (curve.py:_B3_K)
+
+    def add(self, a, b):
+        return (self.fq.add(a[0], b[0]), self.fq.add(a[1], b[1]))
+
+    def sub(self, a, b):
+        return (self.fq.sub(a[0], b[0]), self.fq.sub(a[1], b[1]))
+
+    def _mul1(self, a, b):
+        fq = self.fq
+        t0 = _mul_rows(a[0], b[0], fq.n, fq.p, fq.npr)
+        t1 = _mul_rows(a[1], b[1], fq.n, fq.p, fq.npr)
+        s = _mul_rows(fq.add(a[0], a[1]), fq.add(b[0], b[1]), fq.n, fq.p, fq.npr)
+        c1 = fq.sub(fq.sub(s, t0), t1)
+        # c0 = t0 - 5 t1  (qnr = -5)
+        t1_2 = fq.add(t1, t1)
+        t1_4 = fq.add(t1_2, t1_2)
+        c0 = fq.sub(t0, fq.add(t1_4, t1))
+        return (c0, c1)
+
+    def mul_many(self, pairs):
+        return [self._mul1(a, b) for a, b in pairs]
+
+    def mul_b3(self, x):
+        # b3 * (a0 + a1 u) = (3 a1, k a0), k = -3/5 (curve.py:_G2Ops.mul_b3)
+        fq = self.fq
+        shape = x[0][0].shape
+        kc = [jnp.full(shape, np.uint32(l)) for l in self.b3_k]
+        ka0 = _mul_rows(x[0], kc, fq.n, fq.p, fq.npr)
+        t3 = fq.add(fq.add(x[1], x[1]), x[1])
+        return (t3, ka0)
+
+    def mul_b3_pair(self, x, y):
+        return self.mul_b3(x), self.mul_b3(y)
+
+    def select(self, c, a, b):
+        return (_select_rows(c, a[0], b[0]), _select_rows(c, a[1], b[1]))
+
+
+# ---------------------------------------------------------------------------
+# Kernel factories
+# ---------------------------------------------------------------------------
+
+
+def _spec_consts(modulus: int, n: int):
+    p_limbs = _limbs_of(modulus, n)
+    mont_r = 1 << (LIMB_BITS * n)
+    npr = (-pow(modulus, -1, mont_r)) % mont_r
+    return p_limbs, _limbs_of(npr, n)
+
+
+def _point_rows(ref, ncomp, n, coord, comp=0):
+    # rows are kept 2-D (1, tn): Mosaic's layout inference is unreliable for
+    # 1-D vectors inside large kernel bodies (observed compiler crash)
+    base = (coord * ncomp + comp) * n
+    return [ref[base + k : base + k + 1] for k in range(n)]
+
+
+def _read_point(ref, ncomp, n):
+    if ncomp == 1:
+        return tuple(_point_rows(ref, 1, n, c) for c in range(3))
+    return tuple(
+        (_point_rows(ref, 2, n, c, 0), _point_rows(ref, 2, n, c, 1))
+        for c in range(3)
+    )
+
+
+def _write_point(ref, pt, ncomp, n):
+    for c in range(3):
+        if ncomp == 1:
+            for k in range(n):
+                ref[c * n + k : c * n + k + 1] = pt[c][k]
+        else:
+            for comp in range(2):
+                for k in range(n):
+                    base = (c * 2 + comp) * n + k
+                    ref[base : base + 1] = pt[c][comp][k]
+
+
+def _ident_point(shape, ncomp, r_mod_p_limbs):
+    z = [jnp.zeros(shape, jnp.uint32) for _ in range(len(r_mod_p_limbs))]
+    one = [jnp.full(shape, np.uint32(l)) for l in r_mod_p_limbs]
+    if ncomp == 1:
+        return (list(z), one, list(z))
+    zz = lambda: [jnp.zeros(shape, jnp.uint32) for _ in range(len(r_mod_p_limbs))]
+    return ((zz(), zz()), (one, zz()), (zz(), zz()))
+
+
+def _make_ops(modulus: int, n: int, ncomp: int, b3_k: int | None):
+    p_limbs, npr_limbs = _spec_consts(modulus, n)
+    if ncomp == 1:
+        return _RowOpsFq(n, p_limbs, npr_limbs)
+    return _RowOpsFq2(n, p_limbs, npr_limbs, _limbs_of(b3_k, n))
+
+
+@functools.lru_cache(maxsize=None)
+def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: int = 0):
+    """Build the jitted pallas_call wrapper for one EC kernel variant."""
+    F = _make_ops(modulus, n, ncomp, b3_k)
+    rows = 3 * ncomp * n
+    interp = _interpret()
+
+    def pt_spec():
+        return pl.BlockSpec((rows, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def mask_spec():
+        return pl.BlockSpec((8, tn), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    if op == "add_mask":
+
+        def kernel(acc_ref, pts_ref, mask_ref, o_ref):
+            acc = _read_point(acc_ref, ncomp, n)
+            pts = _read_point(pts_ref, ncomp, n)
+            s = jc._complete_add(F, acc, pts)
+            m = mask_ref[0:1] != 0
+            out = tuple(F.select(m, s[c], acc[c]) for c in range(3))
+            _write_point(o_ref, out, ncomp, n)
+
+        in_specs = [pt_spec(), pt_spec(), mask_spec()]
+        n_out = 1
+    elif op == "add2":
+
+        def kernel(a_ref, b_ref, o_ref):
+            a = _read_point(a_ref, ncomp, n)
+            b = _read_point(b_ref, ncomp, n)
+            _write_point(o_ref, jc._complete_add(F, a, b), ncomp, n)
+
+        in_specs = [pt_spec(), pt_spec()]
+        n_out = 1
+    elif op == "step":
+
+        def kernel(acc_ref, base_ref, mask_ref, oa_ref, ob_ref):
+            acc = _read_point(acc_ref, ncomp, n)
+            base = _read_point(base_ref, ncomp, n)
+            s = jc._complete_add(F, acc, base)
+            m = mask_ref[0:1] != 0
+            out = tuple(F.select(m, s[c], acc[c]) for c in range(3))
+            _write_point(oa_ref, out, ncomp, n)
+            _write_point(ob_ref, jc._complete_double(F, base), ncomp, n)
+
+        in_specs = [pt_spec(), pt_spec(), mask_spec()]
+        n_out = 2
+    elif op == "scan2":
+
+        def kernel(run_ref, tot_ref, bl_ref, or_ref, ot_ref):
+            run = _read_point(run_ref, ncomp, n)
+            tot = _read_point(tot_ref, ncomp, n)
+            bl = _read_point(bl_ref, ncomp, n)
+            run2 = jc._complete_add(F, run, bl)
+            tot2 = jc._complete_add(F, tot, run2)
+            _write_point(or_ref, run2, ncomp, n)
+            _write_point(ot_ref, tot2, ncomp, n)
+
+        in_specs = [pt_spec(), pt_spec(), pt_spec()]
+        n_out = 2
+    elif op == "scan2b":
+        # run' = run + bl ; tot' = tot + run (old run): two independent adds
+        def kernel(run_ref, tot_ref, bl_ref, or_ref, ot_ref):
+            run = _read_point(run_ref, ncomp, n)
+            tot = _read_point(tot_ref, ncomp, n)
+            bl = _read_point(bl_ref, ncomp, n)
+            _write_point(or_ref, jc._complete_add(F, run, bl), ncomp, n)
+            _write_point(ot_ref, jc._complete_add(F, tot, run), ncomp, n)
+
+        in_specs = [pt_spec(), pt_spec(), pt_spec()]
+        n_out = 2
+    elif op == "ladder":
+        # per-lane 256-bit double-and-add MSM ladder + identity init
+        r_mod_p = _limbs_of((1 << (LIMB_BITS * n)) % modulus, n)
+
+        def kernel(pts_ref, scal_ref, o_ref):
+            base0 = _read_point(pts_ref, ncomp, n)
+            sc = [scal_ref[k : k + 1] for k in range(nscal)]
+            shape = sc[0].shape
+            acc0 = _ident_point(shape, ncomp, r_mod_p)
+            nbits = LIMB_BITS * nscal
+
+            def body(i, state):
+                acc, base = state
+                limb = i // LIMB_BITS
+                sh = (i % LIMB_BITS).astype(jnp.uint32)
+                # Mosaic-safe dynamic row pick: select chain over static rows
+                row = sc[0]
+                for k in range(1, nscal):
+                    pick = jnp.broadcast_to(limb == k, row.shape)
+                    row = jnp.where(pick, sc[k], row)
+                bit = (row >> jnp.broadcast_to(sh, row.shape)) & 1
+                s = jc._complete_add(F, acc, base)
+                acc = tuple(F.select(bit == 1, s[c], acc[c]) for c in range(3))
+                return acc, jc._complete_double(F, base)
+
+            acc, _ = jax.lax.fori_loop(0, nbits, body, (acc0, base0))
+            _write_point(o_ref, acc, ncomp, n)
+
+        in_specs = [
+            pt_spec(),
+            pl.BlockSpec((nscal, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ]
+        n_out = 1
+    elif op == "bucket":
+        # Whole bucket-accumulation phase in ONE pallas_call.
+        # grid = (lane_tiles, T): the output accumulator block depends only
+        # on the lane tile, so Mosaic keeps it resident in VMEM across all
+        # T sequential steps (matmul-k-loop pattern).  Step t adds the t-th
+        # run-aligned point of every bucket lane where t < counts[lane].
+        r_mod_p = _limbs_of((1 << (LIMB_BITS * n)) % modulus, n)
+
+        def kernel(runs_ref, counts_ref, o_ref):
+            t = pl.program_id(1)
+
+            @pl.when(t == 0)
+            def _():
+                ident = _ident_point((1, tn), ncomp, r_mod_p)
+                _write_point(o_ref, ident, ncomp, n)
+
+            acc = _read_point(o_ref, ncomp, n)
+            pts = _read_point(runs_ref.at[0], ncomp, n)
+            s = jc._complete_add(F, acc, pts)
+            m = t < counts_ref[0:1]
+            out = tuple(F.select(m, s[c], acc[c]) for c in range(3))
+            _write_point(o_ref, out, ncomp, n)
+
+        in_specs = [
+            pl.BlockSpec((1, rows, tn), lambda j, t: (t, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tn), lambda j, t: (0, j), memory_space=pltpu.VMEM),
+        ]
+        n_out = 1
+
+        @jax.jit
+        def bucket_call(runs, counts8):
+            T, _, L = runs.shape
+            return pl.pallas_call(
+                kernel,
+                grid=(L // tn, T),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((rows, tn), lambda j, t: (0, j),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((rows, L), jnp.uint32),
+                interpret=interp,
+            )(runs, counts8)
+
+        return bucket_call
+    else:  # pragma: no cover
+        raise ValueError(op)
+
+    out_spec = pt_spec()
+    if n_out == 2:
+        out_spec = (pt_spec(), pt_spec())
+
+    @jax.jit
+    def call(*args):
+        L = args[0].shape[1]
+        grid = L // tn
+        out_shape = jax.ShapeDtypeStruct((rows, L), jnp.uint32)
+        if n_out == 2:
+            out_shape = (out_shape, jax.ShapeDtypeStruct((rows, L), jnp.uint32))
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interp,
+        )(*args)
+
+    return call
+
+
+# ---------------------------------------------------------------------------
+# Public packed-layout API
+# ---------------------------------------------------------------------------
+
+_TN = 1024
+
+
+def _tile(L: int) -> int:
+    return min(_TN, L)
+
+
+def _pad_lanes(a: jnp.ndarray, mult: int) -> jnp.ndarray:
+    L = a.shape[-1]
+    pad = (-L) % mult
+    if pad:
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+    return a
+
+
+class PackedGroup:
+    """One EC group in packed-rows layout (G1: ncomp=1, G2: ncomp=2)."""
+
+    def __init__(self, name: str, spec: FieldSpec, ncomp: int, b3_k: int | None):
+        self.name = name
+        self.spec = spec
+        self.ncomp = ncomp
+        self.b3_k = b3_k
+        self.rows = 3 * ncomp * spec.nlimbs
+
+    def _key(self):
+        return (self.spec.modulus, self.spec.nlimbs, self.ncomp, self.b3_k)
+
+    # -- layout ------------------------------------------------------------
+
+    def pack(self, p):
+        """Standard pytree point batch (leading batch axis, trailing limb
+        axis) -> (rows, L) packed array."""
+        coords = []
+        for c in range(3):
+            if self.ncomp == 1:
+                coords.append(p[c].reshape(-1, self.spec.nlimbs).T)
+            else:
+                coords.append(p[c][0].reshape(-1, self.spec.nlimbs).T)
+                coords.append(p[c][1].reshape(-1, self.spec.nlimbs).T)
+        return jnp.concatenate(coords, axis=0)
+
+    def unpack(self, a: jnp.ndarray):
+        n = self.spec.nlimbs
+        outs = []
+        for c in range(3):
+            if self.ncomp == 1:
+                outs.append(a[c * n : (c + 1) * n].T)
+            else:
+                outs.append(
+                    (
+                        a[(2 * c) * n : (2 * c + 1) * n].T,
+                        a[(2 * c + 1) * n : (2 * c + 2) * n].T,
+                    )
+                )
+        return tuple(outs)
+
+    def identity_packed(self, L: int) -> jnp.ndarray:
+        n = self.spec.nlimbs
+        r1 = np.asarray(_limbs_of(self.spec.r_mod_p, n), dtype=np.uint32)
+        a = np.zeros((self.rows, L), dtype=np.uint32)
+        ybase = self.ncomp * n  # Y coordinate c0 rows
+        a[ybase : ybase + n] = r1[:, None]
+        return jnp.asarray(a)
+
+    # -- fused ops ---------------------------------------------------------
+
+    def _mask8(self, mask: jnp.ndarray) -> jnp.ndarray:
+        return jnp.broadcast_to(mask[None, :].astype(jnp.uint32), (8, mask.shape[0]))
+
+    def add_mask(self, acc, pts, mask):
+        L = acc.shape[1]
+        call = _ec_call("add_mask", *self._key(), _tile(L))
+        return call(acc, pts, self._mask8(mask))
+
+    def add2(self, a, b):
+        L = a.shape[1]
+        return _ec_call("add2", *self._key(), _tile(L))(a, b)
+
+    def step(self, acc, base, mask):
+        L = acc.shape[1]
+        call = _ec_call("step", *self._key(), _tile(L))
+        return call(acc, base, self._mask8(mask))
+
+    def scan2(self, run, tot, bl):
+        L = run.shape[1]
+        return _ec_call("scan2", *self._key(), _tile(L))(run, tot, bl)
+
+    def scan2b(self, run, tot, bl):
+        L = run.shape[1]
+        return _ec_call("scan2b", *self._key(), _tile(L))(run, tot, bl)
+
+    def ladder(self, pts, scal_rows):
+        """pts (rows, L) x scalars (nscal_limbs, L) -> per-lane [s]P."""
+        L = pts.shape[1]
+        call = _ec_call("ladder", *self._key(), _tile(L), scal_rows.shape[0])
+        return call(pts, scal_rows)
+
+    def bucket_phase(self, runs, counts):
+        """runs (T, rows, L) run-aligned points + counts (L,) -> (rows, L)
+        per-bucket-lane sums (one pallas_call, acc resident in VMEM)."""
+        L = runs.shape[2]
+        call = _ec_call("bucket", *self._key(), _tile(L))
+        counts8 = jnp.broadcast_to(
+            counts[None, :].astype(jnp.int32), (8, counts.shape[0])
+        )
+        return call(runs, counts8)
+
+    def tree_reduce(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Fold (rows, L) down to (rows, 1) with log2(L) fused adds."""
+        L = a.shape[1]
+        while L > 1:
+            half = L // 2
+            lo = a[:, :half]
+            hi = a[:, half : 2 * half]
+            s = self.add2(_pad_lanes(lo, 128), _pad_lanes(hi, 128))[:, :half]
+            if L % 2:
+                s = jnp.concatenate([s, a[:, -1:]], axis=1)
+                half += 1
+            a = s
+            L = half
+        return a
+
+
+from ..fields.bls12_377 import P as _P  # noqa: E402
+from ..curves.host_curve import B2 as _B2  # noqa: E402
+from .field import FQ as _FQ  # noqa: E402
+
+_B3_K_INT = _FQ.to_mont_int((_B2.c1 * 3) % _P)
+
+G1P = PackedGroup("g1", _FQ, 1, None)
+G2P = PackedGroup("g2", _FQ, 2, _B3_K_INT)
