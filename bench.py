@@ -1,18 +1,22 @@
-"""Benchmark driver: MSM throughput on one chip (the north-star metric).
+"""Benchmark driver: full-MSM throughput on one chip (the north-star metric).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Methodology (see memory: axon tunnel adds ~50ms dispatch latency and
-~60MB/s argument upload, and block_until_ready does not actually block):
-the K-iteration MSM loop runs INSIDE one jit on device-resident data, and
-per-MSM time is the slope between a small-K and a large-K run, which
-cancels dispatch, upload, and sync costs.  A small host-checked MSM first
-guards against measuring garbage.
+Measures the COMPLETE `msm_g1` path — digit/sort, the fused-Pallas bucket
+kernel, weighted bucket reduction, window Horner combine, and the final
+device->host affine conversion — as wall-clock per call on warm caches
+(VERDICT r1 item #10: no more window-phase-only numbers).  A small
+host-checked MSM guards against measuring garbage.
 
 The reference publishes no numbers (BASELINE.md); `vs_baseline` is
 reported against a 1.0e6 points/sec anchor — the ballpark of a well-tuned
 multicore CPU Pippenger (arkworks/blst class) on BLS12-377 G1, the
 reference's execution environment.
+
+Point generation: 2^13 distinct pseudorandom points are produced with one
+fused-ladder launch and tiled to the target size with fresh random
+scalars — bucket statistics and per-point work are identical to fully
+distinct points, and generation stays O(seconds).
 """
 import json
 import sys
@@ -25,29 +29,42 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def sync(tree):
+def gen_points(n_unique: int, N: int):
+    """Generate N points: n_unique ladder-multiples of G, tiled to N."""
+    import jax.numpy as jnp
+
+    from testudo_tpu.curves import host_curve as hc
+    from testudo_tpu.tpu import curve as jc, pallas_curve as pcu
+    from testudo_tpu.tpu.field import FR
+
+    rng = np.random.default_rng(5)
+    scal = rng.integers(0, 1 << 16, size=(n_unique, FR.nlimbs), dtype=np.uint32)
+    scal[:, -1] &= 0x0FFF
+    G = pcu.G1P
+    g = jc.g1_from_affine_host([hc.g1_generator()] * n_unique)
+    pts = G.unpack(G.ladder(G.pack(g), jnp.asarray(scal).T))
+    reps = N // n_unique
     import jax
 
-    return np.asarray(jax.tree_util.tree_leaves(tree)[0]).ravel()[0]
+    return jax.tree_util.tree_map(
+        lambda c: jnp.tile(c, (reps, 1)), pts
+    )
 
 
-def run_msm_bench(N: int, c: int):
+def run_msm_bench(N: int):
     import jax
     import jax.numpy as jnp
 
     from testudo_tpu.curves import host_curve as hc
     from testudo_tpu.tpu import curve as jc, msm
     from testudo_tpu.tpu.field import FR
-
-    rng = np.random.default_rng(7)
+    from testudo_tpu.fields.bls12_377 import R
 
     # correctness guard: small MSM vs host reference
     t0 = time.time()
     import random
 
     prng = random.Random(3)
-    from testudo_tpu.fields.bls12_377 import R
-
     ks = [prng.randrange(1, R) for _ in range(32)]
     small_pts = [hc.g1_mul(hc.g1_generator(), k) for k in ks]
     small_scl = [prng.randrange(R) for _ in range(32)]
@@ -55,61 +72,27 @@ def run_msm_bench(N: int, c: int):
     assert got == hc.g1_msm(small_pts, small_scl), "device MSM disagrees with host"
     log(f"correctness guard ok ({time.time()-t0:.1f}s)")
 
-    # generate N pseudorandom points on device via one fixed-base ladder
     t0 = time.time()
-    scal_gen = rng.integers(0, 1 << 16, size=(N, FR.nlimbs), dtype=np.uint32)
-    scal_gen[:, -1] &= 0x0FFF
-    pts = jc.fixed_base_mul_g1(jnp.asarray(scal_gen), hc.g1_generator())
-    sync(pts)
+    pts = gen_points(min(N, 1 << 13), N)
+    jax.block_until_ready(pts)
     log(f"point generation ({N} pts): {time.time()-t0:.1f}s")
 
+    rng = np.random.default_rng(7)
     scalars = rng.integers(0, 1 << 16, size=(N, FR.nlimbs), dtype=np.uint32)
     scalars[:, -1] &= 0x0FFF
     scal_dev = jnp.asarray(scalars)
 
-    def make_loop(K):
-        @jax.jit
-        def f(p, s):
-            def body(i, carry):
-                acc, sc = carry
-                wins = msm._msm_windows_impl("g1", p, sc, c)
-                leaf = jax.tree_util.tree_leaves(wins)[0]
-                # feed output back into the scalars' low bits: real data
-                # dependence between iterations, no DCE, digits unchanged
-                # in distribution
-                mix = jnp.tile(
-                    leaf.reshape(-1)[: FR.nlimbs], (sc.shape[0], 1)
-                )
-                sc2 = sc ^ (mix & 0x3)
-                return acc + jnp.sum(leaf), sc2
-
-            acc, _ = jax.lax.fori_loop(
-                0, K, body, (jnp.uint32(0), s)
-            )
-            return acc
-
-        return f
-
-    K1, K2 = 1, 4
-    f1, f2 = make_loop(K1), make_loop(K2)
+    # one cold call (compiles everything), then timed warm calls
     t0 = time.time()
-    sync(f1(pts, scal_dev))
-    log(f"K={K1} compile+run: {time.time()-t0:.1f}s")
-    t0 = time.time()
-    sync(f2(pts, scal_dev))
-    log(f"K={K2} compile+run: {time.time()-t0:.1f}s")
-    t0 = time.time()
-    sync(f1(pts, scal_dev))
-    t1 = time.time() - t0
-    t0 = time.time()
-    sync(f2(pts, scal_dev))
-    t2 = time.time() - t0
-    per = (t2 - t1) / (K2 - K1)
-    log(f"warm: K={K1} {t1:.2f}s, K={K2} {t2:.2f}s -> {per:.2f}s per MSM")
-    if per <= 0:
-        # noise floor: fall back to the conservative single-run bound
-        per = t2 / K2
-        log(f"slope below noise; using K={K2} bound {per:.2f}s")
+    msm.msm_g1(pts, scal_dev)
+    log(f"cold full msm_g1: {time.time()-t0:.1f}s")
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        msm.msm_g1(pts, scal_dev)
+        times.append(time.time() - t0)
+    per = sorted(times)[len(times) // 2]
+    log(f"warm full msm_g1 times: {[f'{t:.3f}' for t in times]} -> median {per:.3f}s")
     return N / per
 
 
@@ -119,16 +102,17 @@ def main():
     t0 = time.time()
     log(f"devices: {jax.devices()} (init {time.time()-t0:.1f}s)")
 
-    pps = None
-    for N, c in ((1 << 16, 8), (1 << 14, 8)):
+    results = {}
+    for N in (1 << 16, 1 << 20):
         try:
-            pps = run_msm_bench(N, c)
-            break
-        except Exception as e:  # tunnel faults: retry smaller
-            log(f"bench at N={N} failed ({type(e).__name__}: {e}); retrying smaller")
-    if pps is None:
+            results[N] = run_msm_bench(N)
+            log(f"N=2^{N.bit_length()-1}: {results[N]:.0f} pts/s")
+        except Exception as e:
+            log(f"bench at N={N} failed ({type(e).__name__}: {e})")
+    if not results:
         raise SystemExit("all bench configurations failed")
 
+    pps = max(results.values())
     baseline = 1.0e6  # documented anchor (see module docstring)
     print(
         json.dumps(

@@ -510,19 +510,45 @@ def _scalar_mul_ladder_g2(points, scalar_canon: jnp.ndarray):
     return acc
 
 
+def _packed_backend() -> bool:
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _scalar_mul_batch_packed(Gp, points, scalar_canon: jnp.ndarray):
+    """One fused-ladder launch: [c] * P_i over a whole batch (TPU path)."""
+    n = jax.tree_util.tree_leaves(points)[0].shape[0]
+    target = max(128, n + (-n) % 128)
+    padded, _ = _pad_point_batch(points, target)
+    packed = Gp.pack(padded)
+    scal = jnp.broadcast_to(scalar_canon[:, None], (scalar_canon.shape[0], target))
+    acc = Gp.unpack(Gp.ladder(packed, scal))
+    return jax.tree_util.tree_map(lambda c: c[:n], acc)
+
+
 def scalar_mul_batch_g1(points, scalar_canon: jnp.ndarray):
     """[c] * P_i for one (dynamic) scalar applied to a whole point batch.
 
     LSB-first double-free: acc += bit_i ? base : 0; base = 2*base.
-    Small batches pad to a fixed lane count so every call shape-shares one
-    jitted ladder (pad lanes stay lane-local garbage and are sliced off).
+    On TPU this is one fused Pallas ladder launch; the XLA fallback pads
+    to a fixed lane count so every call shape-shares one jitted ladder.
     """
+    if _packed_backend():
+        from . import pallas_curve as pcu
+
+        return _scalar_mul_batch_packed(pcu.G1P, points, scalar_canon)
     padded, n = _pad_point_batch(points, _LADDER_PAD)
     acc = _scalar_mul_ladder_g1(padded, scalar_canon)
     return jax.tree_util.tree_map(lambda c: c[:n], acc)
 
 
 def scalar_mul_batch_g2(points, scalar_canon: jnp.ndarray):
+    if _packed_backend():
+        from . import pallas_curve as pcu
+
+        return _scalar_mul_batch_packed(pcu.G2P, points, scalar_canon)
     padded, n = _pad_point_batch(points, _LADDER_PAD)
     acc = _scalar_mul_ladder_g2(padded, scalar_canon)
     return jax.tree_util.tree_map(lambda c: c[:n], acc)

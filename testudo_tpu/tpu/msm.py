@@ -279,11 +279,17 @@ def _horner_combine_device(G, wins, c: int):
     return jax.lax.fori_loop(0, W - 1, body, acc0)
 
 
-@partial(jax.jit, static_argnums=(0, 3))
 def _multi_msm_device(group_name, points, scalars_canon: jnp.ndarray, c: int):
     """Many MSMs over one shared basis: scalars (K, N, limbs) -> K
     projective points, fully on device (used by the sqrt-PST column
     commitments, sqrt_pst.rs:120-126)."""
+    if _use_packed() and scalars_canon.shape[1] > _SMALL_N:
+        return _multi_msm_packed(group_name, points, scalars_canon)
+    return _multi_msm_xla(group_name, points, scalars_canon, c)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _multi_msm_xla(group_name, points, scalars_canon: jnp.ndarray, c: int):
     G = _resolve_group(group_name)
     if scalars_canon.shape[1] <= _SMALL_N:
         padn = _SMALL_N - scalars_canon.shape[1]
@@ -357,6 +363,308 @@ def _pad_pow2(points, scal: jnp.ndarray):
     return points, scal
 
 
+# ---------------------------------------------------------------------------
+# Fused-Pallas packed path (TPU): one pallas_call per MSM phase
+# ---------------------------------------------------------------------------
+#
+# Round-1's bucket phase ran each RCB16 add as ~100 XLA dispatches; this
+# path materializes the run-aligned point tensor with one XLA row-gather
+# and hands the ENTIRE bucket accumulation to pallas_curve's `bucket`
+# kernel (acc blocks resident in VMEM across all steps), then does the
+# weighted bucket reduction and the 2^{cw} window combine with fused
+# scan/step/ladder kernels.  Matches ark-ec VariableBaseMSM semantics
+# (sqrt_pst.rs:198, mipp.rs:77-85).
+
+
+def _use_packed() -> bool:
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _round_T(t: int) -> int:
+    """Round the max bucket run length up (pow2 below 512, then multiples
+    of 512) to bound the set of bucket-kernel executables."""
+    if t <= 512:
+        return max(32, 1 << (t - 1).bit_length())
+    return -(-t // 512) * 512
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _digit_counts(scal: jnp.ndarray, c: int):
+    digits = _digits_from_scalars(scal, c)  # (W, N)
+    order = jnp.argsort(digits, axis=1)
+    sd = jnp.take_along_axis(digits, order, axis=1)
+    rng = jnp.arange(1 << c, dtype=sd.dtype)
+    starts = jax.vmap(lambda row: jnp.searchsorted(row, rng))(sd)
+    ends = jax.vmap(lambda row: jnp.searchsorted(row, rng, side="right"))(sd)
+    counts = (ends - starts).at[:, 0].set(0)  # bucket 0 has weight 0
+    return order, starts, counts, jnp.max(counts)
+
+
+@partial(jax.jit, static_argnums=(0, 6, 7))
+def _msm_packed_windows(
+    group_name, ptcat, order, starts, counts, tlen, c: int, T: int
+):
+    """ptcat (N, rows) concatenated coords -> per-window sums (rows, W).
+
+    Windows are processed in groups sized so the materialized run-aligned
+    tensor stays under ~2.5 GB (at 2^20 x c=8 the full tensor would be
+    ~10 GB); each group is one gather + one bucket-kernel launch."""
+    from . import pallas_curve as pcu
+
+    Gp = pcu.G1P if group_name == "g1" else pcu.G2P
+    W, B = starts.shape
+    N = ptcat.shape[0]
+    budget = 2500 * (1 << 20)
+    wc = max(1, min(W, budget // max(1, T * B * Gp.rows * 4)))
+    while W % wc:
+        wc -= 1
+
+    def group(args):
+        starts_g, order_g, counts_g = args  # (wc, B), (wc, N), (wc, B)
+        pos = starts_g[None, :, :] + jnp.arange(T, dtype=starts.dtype)[:, None, None]
+        pos = jnp.clip(pos, 0, N - 1)
+        runs_idx = jax.vmap(lambda p: jnp.take_along_axis(order_g, p, axis=1))(pos)
+        runs_std = ptcat[runs_idx.reshape(-1)]  # (T*wc*B, rows) row gather
+        runs = (
+            runs_std.reshape(T, wc, B, Gp.rows)
+            .transpose(0, 3, 1, 2)
+            .reshape(T, Gp.rows, wc * B)
+        )
+        return Gp.bucket_phase(runs, counts_g.reshape(wc * B), tlen)
+
+    if wc == W:
+        buckets = group((starts, order, counts))
+    else:
+        g = W // wc
+        parts = jax.lax.map(
+            group,
+            (
+                starts.reshape(g, wc, B),
+                order.reshape(g, wc, N),
+                counts.reshape(g, wc, B),
+            ),
+        )  # (g, rows, wc*B)
+        buckets = parts.transpose(1, 0, 2).reshape(Gp.rows, W * B)
+    return _weighted_sum_packed(Gp, buckets, W, c)
+
+
+def _weighted_sum_packed(Gp, buckets, W: int, c: int):
+    """sum_j j*B_j per window on packed buckets (rows, W*2^c) -> (rows, W)."""
+    B = 1 << c
+    h = min(B, 32)
+    groups = B // h
+    lanes = W * groups
+    lanes_p = lanes + (-lanes) % 128
+    bg = buckets.reshape(Gp.rows, W, groups, h)
+
+    run = Gp.identity_packed(lanes_p)
+    tot = Gp.identity_packed(lanes_p)
+    # scan l = h-1..0 with tot-before-run update => tot = sum_l l*B_l
+    def scan_body(carry, bl):
+        run, tot = carry
+        run, tot = Gp.scan2b(run, tot, bl)
+        return (run, tot), 0
+
+    xs = jnp.flip(bg, axis=3).transpose(3, 0, 1, 2).reshape(h, Gp.rows, lanes)
+    xs = jnp.pad(xs, ((0, 0), (0, 0), (0, lanes_p - lanes)))
+    (run, tot), _ = jax.lax.scan(scan_body, (run, tot), xs)
+
+    # acc = (g*h) * run_g via shared double-and-add chain (static masks)
+    weights = np.tile(np.arange(groups, dtype=np.uint64) * h, W)
+    weights = np.pad(weights, (0, lanes_p - lanes))
+    maxbits = max(1, int((groups - 1) * h).bit_length())
+    acc = Gp.identity_packed(lanes_p)
+    for bit in range(maxbits):
+        sel = jnp.asarray(((weights >> bit) & 1).astype(np.uint32))
+        acc, run = Gp.step(acc, run, sel)
+    res = Gp.add2(acc, tot)[:, :lanes]  # (rows, W*groups)
+
+    # fold groups per window
+    res = res.reshape(Gp.rows, W, groups)
+    while groups > 1:
+        half = groups // 2
+        a = res[:, :, :half].reshape(Gp.rows, W * half)
+        b = res[:, :, half:].reshape(Gp.rows, W * half)
+        pad = (-(W * half)) % 128
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, pad)))
+            b = jnp.pad(b, ((0, 0), (0, pad)))
+        res = Gp.add2(a, b)[:, : W * half].reshape(Gp.rows, W, half)
+        groups = half
+    return res.reshape(Gp.rows, W)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _horner_ladder_packed(group_name, wins, c: int):
+    """sum_w 2^{c w} S_w via one fused ladder + tree reduction."""
+    from . import pallas_curve as pcu
+    from .field import FR
+
+    Gp = pcu.G1P if group_name == "g1" else pcu.G2P
+    W = wins.shape[1]
+    pows = np.zeros((W, FR.nlimbs), dtype=np.uint32)
+    for w in range(W):
+        v = 1 << (c * w)
+        for i in range(FR.nlimbs):
+            pows[w, i] = (v >> (16 * i)) & 0xFFFF
+    pad = (-W) % 128
+    winsp = jnp.pad(wins, ((0, 0), (0, pad)))
+    scal = jnp.pad(jnp.asarray(pows), ((0, pad), (0, 0))).T  # (nlimbs, W+pad)
+    acc = Gp.ladder(winsp, scal)
+    return Gp.tree_reduce(acc)
+
+
+def _cat_points(group_name, points):
+    if group_name == "g1":
+        return jnp.concatenate(points, axis=1)
+    flat = [points[c][i] for c in range(3) for i in range(2)]
+    return jnp.concatenate(flat, axis=1)
+
+
+def _msm_packed(group_name, points, scal: jnp.ndarray, c: int):
+    from . import pallas_curve as pcu
+
+    Gp = pcu.G1P if group_name == "g1" else pcu.G2P
+    ptcat = _cat_points(group_name, points)
+    order, starts, counts, max_run = _digit_counts(scal, c)
+    mr = int(max_run)  # host sync: static shape class for the kernel
+    T = _round_T(mr)
+    tlen = jnp.asarray([mr], jnp.int32)
+    wins = _msm_packed_windows(group_name, ptcat, order, starts, counts, tlen, c, T)
+    out = _horner_ladder_packed(group_name, wins, c)
+    return Gp.unpack(out)
+
+
+def _msm_small_packed(group_name, points, scal: jnp.ndarray):
+    """<=128-lane MSM: one fused ladder + log tree reduction."""
+    from . import pallas_curve as pcu
+
+    Gp = pcu.G1P if group_name == "g1" else pcu.G2P
+    points, scal = _pad_to(points, scal, 128)
+    acc = Gp.ladder(Gp.pack(points), scal.T)
+    return Gp.unpack(Gp.tree_reduce(acc))
+
+
+# -- multi-MSM over one shared basis: fixed-base shared-table design --------
+#
+# sqrt-PST commits K column polys against ONE basis (sqrt_pst.rs:120-126).
+# Pippenger per column would copy every point W times through HBM (small
+# N => large W) and pay heavy bucket-run padding.  Instead precompute
+# T[j][d] = d*G_j for d < 2^c once (B-1 fused adds, reused by ALL columns),
+# then each (column, window) sum is a straight N-step masked accumulation
+# of gathered table rows — work-optimal W*N adds per column, no sort, no
+# padding, digit-0 lanes land on the stored identity row.
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _multi_msm_packed_impl(group_name, ptcat, scal: jnp.ndarray, c: int, kc: int):
+    from . import pallas_curve as pcu
+
+    Gp = pcu.G1P if group_name == "g1" else pcu.G2P
+    K, N, nl = scal.shape
+    B = 1 << c
+    W = (16 * nl) // c
+
+    # table[j*B + d] = d * G_j (standard row layout, identity at d = 0)
+    base = ptcat.T  # (rows, N) packed
+    ident = Gp.identity_packed(N)
+
+    def tab_step(prev, _):
+        nxt = Gp.add2(prev, base)
+        return nxt, prev
+
+    _, tab = jax.lax.scan(tab_step, ident, None, length=B)
+    # tab: (B, rows, N) with tab[d] = d * G; -> (N*B, rows) standard rows
+    table_std = tab.transpose(2, 0, 1).reshape(N * B, Gp.rows)
+
+    digits = _digits_from_scalars(scal.reshape(K * N, nl), c)  # (W, K*N)
+    digits = digits.reshape(W, K, N)
+    counts = jnp.full((kc * W,), N, dtype=jnp.int32)
+
+    def chunk(dig_c):
+        # dig_c: (W, kc, N) -> runs (N, rows, kc*W) lanes k-major
+        idx = dig_c.transpose(2, 1, 0) + (jnp.arange(N, dtype=jnp.int32) * B)[
+            :, None, None
+        ]  # (N, kc, W)
+        entries = table_std[idx.reshape(-1)]  # (N*kc*W, rows)
+        runs = (
+            entries.reshape(N, kc * W, Gp.rows).transpose(0, 2, 1)
+        )  # (N, rows, kc*W)
+        return Gp.bucket_phase(runs, counts)  # (rows, kc*W)
+
+    nchunks = K // kc
+    dig_chunks = digits.reshape(W, nchunks, kc, N).transpose(1, 0, 2, 3)
+    accs = jax.lax.map(chunk, dig_chunks)  # (nchunks, rows, kc*W)
+    wins = accs.transpose(1, 0, 2).reshape(Gp.rows, K, W)
+    return wins
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _multi_horner_packed(group_name, wins, c: int):
+    """wins (rows, K, W) -> (rows, K): 2^{cw} ladder + fold over W."""
+    from . import pallas_curve as pcu
+    from .field import FR
+
+    Gp = pcu.G1P if group_name == "g1" else pcu.G2P
+    rows, K, W = wins.shape
+    pows = np.zeros((W, FR.nlimbs), dtype=np.uint32)
+    for w in range(W):
+        v = 1 << (c * w)
+        for i in range(FR.nlimbs):
+            pows[w, i] = (v >> (16 * i)) & 0xFFFF
+    lanes = K * W
+    lanes_p = lanes + (-lanes) % 128
+    flat = jnp.pad(wins.reshape(rows, lanes), ((0, 0), (0, lanes_p - lanes)))
+    scal = jnp.tile(jnp.asarray(pows), (K, 1))
+    scal = jnp.pad(scal, ((0, lanes_p - lanes), (0, 0))).T  # (nl, lanes_p)
+    acc = Gp.ladder(flat, scal)[:, :lanes].reshape(rows, K, W)
+    while W > 1:
+        half = W // 2
+        a = acc[:, :, :half].reshape(rows, K * half)
+        b = acc[:, :, half:].reshape(rows, K * half)
+        pad = (-(K * half)) % 128
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, pad)))
+            b = jnp.pad(b, ((0, 0), (0, pad)))
+        acc = Gp.add2(a, b)[:, : K * half].reshape(rows, K, half)
+        W = half
+    return acc.reshape(rows, K)
+
+
+def _multi_msm_packed(group_name, points, scalars_canon: jnp.ndarray, c: int = 8):
+    """K MSMs over one shared basis -> standard projective pytree (K, ...)."""
+    from . import pallas_curve as pcu
+
+    Gp = pcu.G1P if group_name == "g1" else pcu.G2P
+    K, N, nl = scalars_canon.shape
+    W = (16 * nl) // c
+    # chunk K so the gathered runs tensor stays under ~600 MB
+    budget = 600 * (1 << 20)
+    kc = max(1, budget // (W * N * Gp.rows * 4))
+    kc = min(kc, K)
+    while K % kc:
+        kc -= 1
+    # lanes per chunk must be a 128 multiple for the kernel tiles
+    while (kc * W) % 128 and kc < K:
+        kc += 1
+    if (kc * W) % 128:
+        # pad K with zero-scalar columns instead
+        padk = (-K) % max(1, 128 // W)
+        scalars_canon = jnp.pad(scalars_canon, ((0, padk), (0, 0), (0, 0)))
+        K = K + padk
+        kc = max(1, 128 // W)
+    ptcat = _cat_points(group_name, points)
+    wins = _multi_msm_packed_impl(group_name, ptcat, scalars_canon, c, kc)
+    out = _multi_horner_packed(group_name, wins, c)
+    res = Gp.unpack(out)
+    if scalars_canon.shape[0] != K:
+        res = tree_map(lambda a: a[:K], res)
+    return res
+
+
 def msm_g1(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
     """MSM over G1: device projective point pytree x scalars -> host affine.
 
@@ -364,11 +672,15 @@ def msm_g1(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
     """
     scal = _prep_scalars(scalars)
     if scal.shape[0] <= _SMALL_N:
+        if _use_packed():
+            return jc.g1_to_affine_host(_msm_small_packed("g1", points, scal))[0]
         points, scal = _pad_to(points, scal, _SMALL_N)
         return jc.g1_to_affine_host(_msm_small_device("g1", points, scal))[0]
     if c is None:
         c = _pick_window(scal.shape[0])
     points, scal = _pad_pow2(points, scal)
+    if _use_packed():
+        return jc.g1_to_affine_host(_msm_packed("g1", points, scal, c))[0]
     windows = _msm_windows("g1", points, scal, c)
     return _combine_windows_host(windows, c, "g1")
 
@@ -376,11 +688,15 @@ def msm_g1(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
 def msm_g2(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
     scal = _prep_scalars(scalars)
     if scal.shape[0] <= _SMALL_N:
+        if _use_packed():
+            return jc.g2_to_affine_host(_msm_small_packed("g2", points, scal))[0]
         points, scal = _pad_to(points, scal, _SMALL_N)
         return jc.g2_to_affine_host(_msm_small_device("g2", points, scal))[0]
     if c is None:
         c = _pick_window(scal.shape[0])
     points, scal = _pad_pow2(points, scal)
+    if _use_packed():
+        return jc.g2_to_affine_host(_msm_packed("g2", points, scal, c))[0]
     windows = _msm_windows("g2", points, scal, c)
     return _combine_windows_host(windows, c, "g2")
 

@@ -173,10 +173,10 @@ def _spec_consts(modulus: int, n: int):
 
 
 def _point_rows(ref, ncomp, n, coord, comp=0):
-    # rows are kept 2-D (1, tn): Mosaic's layout inference is unreliable for
-    # 1-D vectors inside large kernel bodies (observed compiler crash)
+    # rows are 1-D (tn,): Mosaic packs 1-D vectors densely across sublanes
+    # ((1, tn) 2-D rows would waste 7/8 of every vreg)
     base = (coord * ncomp + comp) * n
-    return [ref[base + k : base + k + 1] for k in range(n)]
+    return [ref[base + k] for k in range(n)]
 
 
 def _read_point(ref, ncomp, n):
@@ -192,12 +192,11 @@ def _write_point(ref, pt, ncomp, n):
     for c in range(3):
         if ncomp == 1:
             for k in range(n):
-                ref[c * n + k : c * n + k + 1] = pt[c][k]
+                ref[c * n + k] = pt[c][k]
         else:
             for comp in range(2):
                 for k in range(n):
-                    base = (c * 2 + comp) * n + k
-                    ref[base : base + 1] = pt[c][comp][k]
+                    ref[(c * 2 + comp) * n + k] = pt[c][comp][k]
 
 
 def _ident_point(shape, ncomp, r_mod_p_limbs):
@@ -235,7 +234,7 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
             acc = _read_point(acc_ref, ncomp, n)
             pts = _read_point(pts_ref, ncomp, n)
             s = jc._complete_add(F, acc, pts)
-            m = mask_ref[0:1] != 0
+            m = mask_ref[0] != 0
             out = tuple(F.select(m, s[c], acc[c]) for c in range(3))
             _write_point(o_ref, out, ncomp, n)
 
@@ -256,7 +255,7 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
             acc = _read_point(acc_ref, ncomp, n)
             base = _read_point(base_ref, ncomp, n)
             s = jc._complete_add(F, acc, base)
-            m = mask_ref[0:1] != 0
+            m = mask_ref[0] != 0
             out = tuple(F.select(m, s[c], acc[c]) for c in range(3))
             _write_point(oa_ref, out, ncomp, n)
             _write_point(ob_ref, jc._complete_double(F, base), ncomp, n)
@@ -287,81 +286,70 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
 
         in_specs = [pt_spec(), pt_spec(), pt_spec()]
         n_out = 2
-    elif op == "ladder":
-        # per-lane 256-bit double-and-add MSM ladder + identity init
+    elif op == "bucket":
+        # Whole bucket-accumulation phase in ONE pallas_call: for every
+        # bucket lane, sequentially add its run-aligned points (step t adds
+        # point t where t < counts[lane]).  The true step count arrives as
+        # a scalar-prefetch arg and the run tensor stays in HBM, streamed
+        # in with double-buffered DMA — so ONE compiled executable serves
+        # every run length (the T axis is only padded in memory, never in
+        # compute).  Accumulators live in registers/VMEM for the whole loop.
         r_mod_p = _limbs_of((1 << (LIMB_BITS * n)) % modulus, n)
 
-        def kernel(pts_ref, scal_ref, o_ref):
-            base0 = _read_point(pts_ref, ncomp, n)
-            sc = [scal_ref[k : k + 1] for k in range(nscal)]
-            shape = sc[0].shape
-            acc0 = _ident_point(shape, ncomp, r_mod_p)
-            nbits = LIMB_BITS * nscal
+        def kernel(tlen_ref, counts_ref, runs_hbm, o_ref, buf, sem):
+            j = pl.program_id(0)
+            T = tlen_ref[0]
 
-            def body(i, state):
-                acc, base = state
-                limb = i // LIMB_BITS
-                sh = (i % LIMB_BITS).astype(jnp.uint32)
-                # Mosaic-safe dynamic row pick: select chain over static rows
-                row = sc[0]
-                for k in range(1, nscal):
-                    pick = jnp.broadcast_to(limb == k, row.shape)
-                    row = jnp.where(pick, sc[k], row)
-                bit = (row >> jnp.broadcast_to(sh, row.shape)) & 1
-                s = jc._complete_add(F, acc, base)
-                acc = tuple(F.select(bit == 1, s[c], acc[c]) for c in range(3))
-                return acc, jc._complete_double(F, base)
+            def get_dma(slot, t):
+                return pltpu.make_async_copy(
+                    runs_hbm.at[t, :, pl.ds(j * tn, tn)],
+                    buf.at[slot],
+                    sem.at[slot],
+                )
 
-            acc, _ = jax.lax.fori_loop(0, nbits, body, (acc0, base0))
+            get_dma(0, 0).start()
+            acc0 = _ident_point((tn,), ncomp, r_mod_p)
+
+            def body(t, acc):
+                slot = t % 2
+
+                @pl.when(t + 1 < T)
+                def _():
+                    get_dma((t + 1) % 2, t + 1).start()
+
+                get_dma(slot, t).wait()
+                pts = _read_point(buf.at[slot], ncomp, n)
+                s = jc._complete_add(F, acc, pts)
+                m = jnp.broadcast_to(t < counts_ref[0], (tn,))
+                return tuple(F.select(m, s[c], acc[c]) for c in range(3))
+
+            acc = jax.lax.fori_loop(0, T, body, acc0)
             _write_point(o_ref, acc, ncomp, n)
 
-        in_specs = [
-            pt_spec(),
-            pl.BlockSpec((nscal, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ]
-        n_out = 1
-    elif op == "bucket":
-        # Whole bucket-accumulation phase in ONE pallas_call.
-        # grid = (lane_tiles, T): the output accumulator block depends only
-        # on the lane tile, so Mosaic keeps it resident in VMEM across all
-        # T sequential steps (matmul-k-loop pattern).  Step t adds the t-th
-        # run-aligned point of every bucket lane where t < counts[lane].
-        r_mod_p = _limbs_of((1 << (LIMB_BITS * n)) % modulus, n)
-
-        def kernel(runs_ref, counts_ref, o_ref):
-            t = pl.program_id(1)
-
-            @pl.when(t == 0)
-            def _():
-                ident = _ident_point((1, tn), ncomp, r_mod_p)
-                _write_point(o_ref, ident, ncomp, n)
-
-            acc = _read_point(o_ref, ncomp, n)
-            pts = _read_point(runs_ref.at[0], ncomp, n)
-            s = jc._complete_add(F, acc, pts)
-            m = t < counts_ref[0:1]
-            out = tuple(F.select(m, s[c], acc[c]) for c in range(3))
-            _write_point(o_ref, out, ncomp, n)
-
-        in_specs = [
-            pl.BlockSpec((1, rows, tn), lambda j, t: (t, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tn), lambda j, t: (0, j), memory_space=pltpu.VMEM),
-        ]
-        n_out = 1
-
         @jax.jit
-        def bucket_call(runs, counts8):
-            T, _, L = runs.shape
+        def bucket_call(tlen, counts8, runs):
+            _, _, L = runs.shape
+            gs = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(L // tn,),
+                in_specs=[
+                    pl.BlockSpec((8, tn), lambda j, *_: (0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=pl.BlockSpec((rows, tn), lambda j, *_: (0, j),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((2, rows, tn), jnp.uint32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            )
             return pl.pallas_call(
                 kernel,
-                grid=(L // tn, T),
-                in_specs=in_specs,
-                out_specs=pl.BlockSpec((rows, tn), lambda j, t: (0, j),
-                                       memory_space=pltpu.VMEM),
+                grid_spec=gs,
                 out_shape=jax.ShapeDtypeStruct((rows, L), jnp.uint32),
                 interpret=interp,
-            )(runs, counts8)
+            )(tlen, counts8, runs)
 
         return bucket_call
     else:  # pragma: no cover
@@ -487,20 +475,25 @@ class PackedGroup:
         return _ec_call("scan2b", *self._key(), _tile(L))(run, tot, bl)
 
     def ladder(self, pts, scal_rows):
-        """pts (rows, L) x scalars (nscal_limbs, L) -> per-lane [s]P."""
-        L = pts.shape[1]
-        call = _ec_call("ladder", *self._key(), _tile(L), scal_rows.shape[0])
-        return call(pts, scal_rows)
+        """pts (rows, L) x canonical scalars (nscal_limbs, L) -> [s_l]P_l.
 
-    def bucket_phase(self, runs, counts):
-        """runs (T, rows, L) run-aligned points + counts (L,) -> (rows, L)
-        per-bucket-lane sums (one pallas_call, acc resident in VMEM)."""
-        L = runs.shape[2]
+        LSB-first masked double-and-add: one fori_loop around the fused
+        `step` kernel with XLA-extracted bit masks (an all-in-kernel ladder
+        reliably crashes Mosaic's layout inference on 1-D loop carries)."""
+        return _ladder_chain(self.name, pts, scal_rows)
+
+    def bucket_phase(self, runs, counts, tlen=None):
+        """runs (T_pad, rows, L) run-aligned points + counts (L,) ->
+        (rows, L) per-bucket-lane sums.  One pallas_call; `tlen` (i32 (1,))
+        bounds the actual step count so the padded T axis costs nothing."""
+        T, _, L = runs.shape
         call = _ec_call("bucket", *self._key(), _tile(L))
         counts8 = jnp.broadcast_to(
             counts[None, :].astype(jnp.int32), (8, counts.shape[0])
         )
-        return call(runs, counts8)
+        if tlen is None:
+            tlen = jnp.asarray([T], jnp.int32)
+        return call(tlen, counts8, runs)
 
     def tree_reduce(self, a: jnp.ndarray) -> jnp.ndarray:
         """Fold (rows, L) down to (rows, 1) with log2(L) fused adds."""
@@ -516,6 +509,25 @@ class PackedGroup:
             a = s
             L = half
         return a
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _ladder_chain(gname: str, pts: jnp.ndarray, scal_rows: jnp.ndarray):
+    G = G1P if gname == "g1" else G2P
+    nl = scal_rows.shape[0]
+    masks = jnp.stack(
+        [(scal_rows[k] >> b) & 1 for k in range(nl) for b in range(LIMB_BITS)],
+        axis=0,
+    )  # (nbits, L) LSB-first
+    acc0 = G.identity_packed(pts.shape[1])
+
+    def body(i, st):
+        acc, base = st
+        m = jax.lax.dynamic_index_in_dim(masks, i, 0, keepdims=False)
+        return G.step(acc, base, m)
+
+    acc, _ = jax.lax.fori_loop(0, nl * LIMB_BITS, body, (acc0, pts))
+    return acc
 
 
 from ..fields.bls12_377 import P as _P  # noqa: E402
