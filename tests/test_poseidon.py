@@ -55,11 +55,12 @@ def test_g1_absorb_deterministic():
     t1.append_g1_uncompressed(pt)
     t2 = PoseidonTranscript(fq_params())
     t2.append_g1_uncompressed(pt)
-    assert t1.challenge_scalar(R) == t2.challenge_scalar(R)
-    # compressed encoding gives a different transcript
+    c_unc = t1.challenge_scalar(R)
+    assert c_unc == t2.challenge_scalar(R)
+    # compressed encoding gives a different transcript than uncompressed
     t3 = PoseidonTranscript(fq_params())
     t3.append_g1_point(pt)
-    assert t3.challenge_scalar(R) != t1.sponge.state or True
+    assert t3.challenge_scalar(R) != c_unc
 
 
 def test_native_squeeze_full_width():

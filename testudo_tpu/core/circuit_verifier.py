@@ -31,11 +31,15 @@ Design deltas vs the reference gadget (each a strengthening):
     by an exact integer identity a*b = c + k*r checked in two coprime
     moduli (p and 2^140) over bit decompositions.
 
-Known caveat (documented, shared with bits-based gadgets that skip strict
-range proofs): bit decompositions enforce booleanity + recomposition but
-not canonicity (value < p); scalar-multiplication ladders use incomplete
-affine formulas with a fixed offset point (degenerate intermediate
-collisions are cryptographically negligible and asserted at synthesis).
+Range checking: Fq bit decompositions that feed transcript absorbs or
+challenge derivation are range-checked < p (enforce_bits_lt_constant), so
+byte streams are canonical.  Nonnative Fr decompositions are deliberately
+NOT range-checked: all groups here have order r, so a shifted k + r
+witness scalar produces identical folds, and the CRT product identities
+only constrain values mod r.  Known caveat: scalar-multiplication ladders
+use incomplete affine formulas with a fixed offset point (degenerate
+intermediate collisions are cryptographically negligible and asserted at
+synthesis).
 """
 from __future__ import annotations
 
@@ -69,9 +73,14 @@ def _rth_root_exp() -> int:
 # ---------------------------------------------------------------------------
 
 
-def to_bits_le(cs: ConstraintSystem, v: FVar, nbits: int) -> List[FVar]:
+def to_bits_le(cs: ConstraintSystem, v: FVar, nbits: int,
+               lt_bound: Optional[int] = None) -> List[FVar]:
     """Decompose v into nbits little-endian boolean vars (booleanity +
-    recomposition enforced)."""
+    recomposition enforced).  With `lt_bound`, additionally enforce that
+    the decomposed integer is < lt_bound — REQUIRED for canonicity when
+    the bits feed a transcript absorb: for most v < p the shifted
+    representation v + p also fits in 377 bits, so without the range
+    check a malicious prover could absorb a different byte stream."""
     val = v.value
     assert val < (1 << nbits), "value exceeds bit width"
     bits = []
@@ -80,7 +89,32 @@ def to_bits_le(cs: ConstraintSystem, v: FVar, nbits: int) -> List[FVar]:
         cs.enforce(b, 1 - b, cs.constant(0))
         bits.append(b)
     cs.enforce_equal(bits_lc(cs, bits), v)
+    if lt_bound is not None:
+        enforce_bits_lt_constant(cs, bits, lt_bound)
     return bits
+
+
+def enforce_bits_lt_constant(cs: ConstraintSystem, bits: Sequence[FVar],
+                             bound: int) -> None:
+    """Enforce int(bits, LE) < bound for a constant bound (MSB-first
+    comparison; ~1 multiplication constraint per bit).
+
+    Invariants maintained over the MSB->LSB walk: `eq` == 1 iff every bit
+    inspected so far equals bound's bit; `lt` == 1 iff the value is
+    already strictly below bound at some inspected position.  The final
+    check is lt == 1 (eq surviving to the end means value == bound)."""
+    one = cs.constant(1)
+    eq = one
+    lt = cs.constant(0)
+    for i in reversed(range(len(bits))):
+        b = bits[i]
+        if (bound >> i) & 1:
+            eq_b = cs.mul(eq, b)  # eq AND b
+            lt = lt + eq - eq_b   # lt OR (eq AND NOT b): disjoint events
+            eq = eq_b
+        else:
+            eq = cs.mul(eq, one - b)  # a 1-bit where bound has 0 kills eq
+    cs.enforce_equal(lt, one)
 
 
 def bits_lc(cs: ConstraintSystem, bits: Sequence[FVar], lo: int = 0,
@@ -609,8 +643,11 @@ def g2_scalar_mul(cs, base: G2Var, bits: List[FVar]) -> G2Var:
 
 
 def _bits384(cs, v: FVar) -> List[FVar]:
-    """377-bit decomposition zero-extended to a 48-byte stream."""
-    bits = to_bits_le(cs, v, 377)
+    """377-bit decomposition zero-extended to a 48-byte stream.
+
+    Range-checked < p: these bits feed transcript absorbs, where a
+    non-canonical v + p representation would change the byte stream."""
+    bits = to_bits_le(cs, v, 377, lt_bound=P)
     zero = cs.constant(0)
     return bits + [zero] * 7
 
@@ -646,7 +683,7 @@ class TranscriptFqGadget:
         """challenge_scalar(Fr): one native squeeze, low 252 bits
         (sponge.squeeze_foreign_field semantics)."""
         e = self.sponge.squeeze(1)[0]
-        bits = to_bits_le(self.cs, e, 377)
+        bits = to_bits_le(self.cs, e, 377, lt_bound=P)
         fr_bits = bits[:252] + [self.cs.constant(0)]
         return FrVar(fr_bits, bits_lc(self.cs, bits, 0, 252).value)
 

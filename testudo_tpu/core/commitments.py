@@ -1,12 +1,11 @@
 """Pedersen commitment generators and commit helpers.
 
-Mirror of /root/reference/src/commitments.rs.  Generator derivation is
-deterministic from (label, group) via the Poseidon sponge, as in the
-reference (MultiCommitGens::new seeds a StdRng from sponge bytes and calls
-G::Affine::rand, commitments.rs:17-39).  ark's point sampling cannot be
-reproduced without its exact rejection stream, so we hash-to-curve by
-try-and-increment over the squeezed bytes — equally deterministic and
-transcript-committed via the same sponge.
+Mirror of /root/reference/src/commitments.rs.  Generator derivation
+follows MultiCommitGens::new exactly (commitments.rs:17-39): a Poseidon
+sponge absorbs the label bytes and the compressed group generator, then
+each of the n+1 generators is `G::Affine::rand(StdRng::from_seed(sponge.
+squeeze_bytes(32)))` — the StdRng (ChaCha12) stream and ark's
+field/point rejection sampling are ported bit-exactly in utils/ark_rng.py.
 """
 from __future__ import annotations
 
@@ -15,8 +14,7 @@ from typing import List
 
 import jax.numpy as jnp
 
-from ..fields.bls12_377 import P, R, H1
-from ..fields import host as hf
+from ..fields.bls12_377 import R
 from ..curves import host_curve as hc
 from ..poseidon.sponge import PoseidonSponge
 from ..poseidon.transcript import fr_params
@@ -39,14 +37,15 @@ class MultiCommitGens:
 
     @staticmethod
     def new(n: int, label: bytes) -> "MultiCommitGens":
+        from ..utils import ark_rng
+
         sponge = PoseidonSponge(fr_params())
         sponge.absorb_bytes(bytes(label))
         sponge.absorb_bytes(ser.g1_to_bytes(hc.g1_generator(), compress=True))
         pts = []
         while len(pts) < n + 1:
             seed = sponge.squeeze_bytes(32)
-            pt = _hash_to_g1(seed)
-            pts.append(pt)
+            pts.append(ark_rng.g1_affine_rand(ark_rng.std_rng_from_seed(seed)))
         return MultiCommitGens(n, pts[:n], pts[n])
 
     def split_at(self, mid: int):
@@ -54,21 +53,6 @@ class MultiCommitGens:
             MultiCommitGens(mid, self.G[:mid], self.h),
             MultiCommitGens(self.n - mid, self.G[mid:], self.h),
         )
-
-
-def _hash_to_g1(seed: bytes):
-    """Try-and-increment: x from seed counter stream, clear cofactor."""
-    ctr = 0
-    base = int.from_bytes(seed, "little")
-    while True:
-        x = (base + ctr) % P
-        rhs = (x * x * x + 1) % P
-        y = hf.fq_sqrt(rhs)
-        if y is not None:
-            pt = hc.g1_mul((x, min(y, P - y)), H1)
-            if pt is not None:
-                return pt
-        ctr += 1
 
 
 def commit_scalar(scalar: int, blind: int, gens_1: MultiCommitGens):

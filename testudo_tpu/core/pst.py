@@ -82,12 +82,41 @@ def _seed_scalars(seed: bytes, n: int) -> List[int]:
     return out
 
 
-def setup(nv: int, seed: bytes = b"testudo-tpu-pst-srs") -> Tuple[CommitterKey, VerifierKey]:
-    """Deterministic trusted setup (reference uses ark test_rng,
-    dense_mlpoly.rs:193 — equally deterministic, different stream)."""
-    ts = _seed_scalars(seed, nv)
-    g = hc.g1_generator()
-    h = hc.g2_generator()
+def ark_setup_draws(nv: int) -> Tuple[Tuple, Tuple, List[int]]:
+    """The (g, h, t) draws of `MultilinearPC::setup(nv, ark_std::test_rng())`
+    (dense_mlpoly.rs:193-195 -> ark-poly-commit multilinear_pc setup):
+    g = G1::rand, h = G2::rand, then nv Fr::rand, all from the fixed-seed
+    ChaCha12 StdRng (utils/ark_rng.py).
+
+    The returned t vector is REVERSED: ark binds variables LSB-first while
+    this package binds MSB-first (module docstring), and the reference
+    bridges the orders by reversing the opening point (sqrt_pst.rs:221-225).
+    Evaluating an eval table with LSB-first chi at t equals evaluating it
+    with MSB-first chi at reversed t, so using reversed draws makes this
+    package's commitments/openings equal the reference's group elements
+    with no reversal at the call sites."""
+    from ..utils import ark_rng
+
+    rng = ark_rng.test_rng()
+    g = ark_rng.g1_projective_rand(rng)
+    h = ark_rng.g2_projective_rand(rng)
+    ts = [ark_rng.fr_rand(rng) for _ in range(nv)]
+    return g, h, list(reversed(ts))
+
+
+def setup(nv: int, seed: Optional[bytes] = None) -> Tuple[CommitterKey, VerifierKey]:
+    """Deterministic trusted setup.
+
+    Default (seed=None): the reference's derivation — ark test_rng draws
+    (dense_mlpoly.rs:193-195), so the SRS group elements match the Rust
+    snapshot's.  With an explicit seed: a Shake256-derived stream over the
+    fixed generators (useful for independent test SRS)."""
+    if seed is None:
+        g, h, ts = ark_setup_draws(nv)
+    else:
+        ts = _seed_scalars(seed, nv)
+        g = hc.g1_generator()
+        h = hc.g2_generator()
     # eq tables for every suffix level (level nv is the empty product = 1),
     # concatenated so the fixed-base ladder compiles and runs ONCE.
     tables = [dense.eq_evals(ts[i:]) for i in range(nv)]

@@ -26,6 +26,7 @@ from ..tpu import field as jf
 from ..tpu.field import FR
 from . import polycommit
 from . import product_tree as ptree
+from .errors import ProofVerifyError
 
 
 # ---------------------------------------------------------------------------
@@ -678,7 +679,22 @@ def prove(dense_rep: MultiSparseMatPolynomialAsDense, rx, ry, evals,
 
 def verify(proof: SparseMatPolyEvalProof, comm: SparseMatPolyCommitment,
            rx, ry, evals, gens: SparseMatPolyCommitmentGens, transcript) -> bool:
-    """SparseMatPolyEvalProof::verify (sparse_mlpoly.rs:1534-1568)."""
+    """SparseMatPolyEvalProof::verify (sparse_mlpoly.rs:1534-1568).
+
+    Returns False on any failed check (the inner layers signal failure by
+    raising; unlike the reference — whose verifier asserts panic,
+    mipp.rs:250-317 — this matches the bool contract of every other
+    verifier in this package).
+    """
+    try:
+        return _verify_inner(proof, comm, rx, ry, evals, gens, transcript)
+    except (AssertionError, ProofVerifyError):
+        return False
+
+
+def _verify_inner(proof: SparseMatPolyEvalProof, comm: SparseMatPolyCommitment,
+                  rx, ry, evals, gens: SparseMatPolyCommitmentGens,
+                  transcript) -> bool:
     rx_ext, ry_ext = _equalize(rx, ry)
     nz, num_mem_cells = comm.num_ops, comm.num_mem_cells
     assert (1 << len(rx_ext)) == num_mem_cells
