@@ -1,6 +1,8 @@
 """BLS12-381 curve family tests (second curve wired in by the reference:
 ark-bls12-381 / ark-blst, Cargo.toml:25-26; SURVEY.md §2 component #13's
 poseidon_params_bls12381)."""
+import pytest
+
 import random
 
 from testudo_tpu.fields.bls12_381 import P, R, H1, H2
@@ -9,6 +11,8 @@ from testudo_tpu.curves import bls12_381 as c381
 from testudo_tpu.poseidon.transcript import (
     PoseidonTranscript, fr_params_381, params_for_curve,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy: CI slow tier
 
 rng = random.Random(17)
 

@@ -1,4 +1,6 @@
 """Device (generic FpGroup) BW6-761 MSM vs host reference."""
+import pytest
+
 import random
 
 from testudo_tpu.fields.bw6_761 import R as R761
@@ -7,6 +9,8 @@ from testudo_tpu.tpu import curve_generic as cg, msm
 from testudo_tpu.tpu.field import FQ
 
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow  # compile-heavy: CI slow tier
 
 rng = random.Random(13)
 

@@ -25,6 +25,8 @@ from testudo_tpu.poly import dense
 from testudo_tpu.poseidon.transcript import PoseidonTranscript, fq_params
 from testudo_tpu.core import pst, sqrt_pst, circuit_verifier as cv
 
+pytestmark = pytest.mark.slow  # compile-heavy: CI slow tier
+
 rng = random.Random(41)
 
 

@@ -13,6 +13,8 @@ from testudo_tpu.tpu import curve as jc
 from testudo_tpu.tpu import msm
 from testudo_tpu.curves import host_curve as hc
 
+pytestmark = pytest.mark.slow  # compile-heavy: CI slow tier
+
 rng = random.Random(13)
 
 

@@ -8,6 +8,8 @@ from testudo_tpu.fields.bls12_377 import P, R
 from testudo_tpu.core.circuit import ConstraintSystem
 from testudo_tpu.core import groth16_bw6 as g16
 
+pytestmark = pytest.mark.slow  # compile-heavy: CI slow tier
+
 rng = random.Random(19)
 
 

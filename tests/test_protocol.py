@@ -16,6 +16,8 @@ from testudo_tpu.poly import dense
 from testudo_tpu.poseidon.transcript import PoseidonTranscript, fq_params, fr_params
 from testudo_tpu.core import pst, sqrt_pst, mipp, sumcheck, r1cs, r1csproof
 
+pytestmark = pytest.mark.slow  # compile-heavy: CI slow tier
+
 rng = random.Random(23)
 
 

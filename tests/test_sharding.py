@@ -2,7 +2,8 @@
 
 Same-seed sharded vs single-device computations must agree exactly
 (SURVEY.md §4: "same-seed single-host vs sharded runs must produce
-bit-identical proofs").
+bit-identical proofs").  These drive the SAME dispatchers the prover
+uses: msm.msm_g1 / sumcheck.prove_* consult parallel.mesh.use_mesh.
 """
 import random
 
@@ -13,10 +14,14 @@ import pytest
 
 from testudo_tpu.fields.bls12_377 import R
 from testudo_tpu.poly import dense
-from testudo_tpu.tpu import curve as jc, field as jf, msm
+from testudo_tpu.tpu import curve as jc, msm
 from testudo_tpu.tpu.field import FR
 from testudo_tpu.curves import host_curve as hc
 from testudo_tpu.parallel import mesh as pmesh
+from testudo_tpu.core import sumcheck
+from testudo_tpu.poseidon.transcript import PoseidonTranscript, fr_params
+
+pytestmark = pytest.mark.slow  # compile-heavy: CI slow tier
 
 rng = random.Random(31)
 
@@ -28,54 +33,100 @@ def cpu_mesh():
     return pmesh.make_mesh(cpus[:8])
 
 
-def test_sharded_quad_round_matches(cpu_mesh):
-    n = 64
-    A = [rng.randrange(R) for _ in range(2 * n)]
-    B = [rng.randrange(R) for _ in range(2 * n)]
-    r = rng.randrange(R)
+def _cpu(x):
+    return jax.device_put(x, jax.devices("cpu")[0])
 
-    # expected from host math
-    e0 = sum(a * b for a, b in zip(A[:n], B[:n])) % R
-    a2 = [(2 * h - l) % R for l, h in zip(A[:n], A[n:])]
-    b2 = [(2 * h - l) % R for l, h in zip(B[:n], B[n:])]
-    e2 = sum(a * b for a, b in zip(a2, b2)) % R
-    bound_A = [(l + r * (h - l)) % R for l, h in zip(A[:n], A[n:])]
+
+def test_cyclic_split_roundtrip(cpu_mesh):
+    t = dense.encode_table([rng.randrange(R) for _ in range(64)])
+    with jax.default_device(jax.devices("cpu")[0]):
+        td = pmesh.cyclic_split(cpu_mesh, _cpu(t))
+        back = pmesh.cyclic_join(np.asarray(td))
+    assert np.array_equal(np.asarray(t), back)
+
+
+def test_sharded_quad_sumcheck_bit_identical(cpu_mesh):
+    n = 64
+    A = [rng.randrange(R) for _ in range(n)]
+    B = [rng.randrange(R) for _ in range(n)]
+    claim = sum(a * b for a, b in zip(A, B)) % R
+    rounds = 6
 
     with jax.default_device(jax.devices("cpu")[0]):
-        a_lo, a_hi = pmesh.shard_table(
-            cpu_mesh, dense.encode_table(A[:n]), dense.encode_table(A[n:])
+        t1 = PoseidonTranscript(fr_params())
+        p1, r1, c1 = sumcheck.prove_quad(
+            claim, rounds, _cpu(dense.encode_table(A)),
+            _cpu(dense.encode_table(B)), t1,
         )
-        b_lo, b_hi = pmesh.shard_table(
-            cpu_mesh, dense.encode_table(B[:n]), dense.encode_table(B[n:])
-        )
-        round_fn = pmesh.sharded_quad_round(cpu_mesh)
-        evals, a_new, b_new = round_fn(
-            a_lo, a_hi, b_lo, b_hi, dense.encode_scalar(r)
-        )
-        got = FR.decode(np.asarray(evals))
-        assert got == [e0, e2]
-        assert dense.decode_table(a_new) == bound_A
+        t2 = PoseidonTranscript(fr_params())
+        with pmesh.use_mesh(cpu_mesh):
+            p2, r2, c2 = sumcheck.prove_quad(
+                claim, rounds, _cpu(dense.encode_table(A)),
+                _cpu(dense.encode_table(B)), t2,
+            )
+    assert r1 == r2 and list(c1) == list(c2)
+    assert [p.coeffs for p in p1.polys] == [p.coeffs for p in p2.polys]
+    assert t1.sponge.state == t2.sponge.state
+    # and the proof verifies
+    tv = PoseidonTranscript(fr_params())
+    e, rv = p2.verify(claim, rounds, 2, tv)
+    assert rv == r2
 
 
-def test_sharded_msm_matches(cpu_mesh):
+def test_sharded_cubic_sumcheck_bit_identical(cpu_mesh):
     n = 32
+    A = [rng.randrange(R) for _ in range(n)]
+    B = [rng.randrange(R) for _ in range(n)]
+    C = [rng.randrange(R) for _ in range(n)]
+    claim = sum(a * b * c for a, b, c in zip(A, B, C)) % R
+    rounds = 5
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        t1 = PoseidonTranscript(fr_params())
+        p1, r1, c1 = sumcheck.prove_cubic(
+            claim, rounds, _cpu(dense.encode_table(A)),
+            _cpu(dense.encode_table(B)), _cpu(dense.encode_table(C)), t1,
+        )
+        t2 = PoseidonTranscript(fr_params())
+        with pmesh.use_mesh(cpu_mesh):
+            p2, r2, c2 = sumcheck.prove_cubic(
+                claim, rounds, _cpu(dense.encode_table(A)),
+                _cpu(dense.encode_table(B)), _cpu(dense.encode_table(C)), t2,
+            )
+    assert r1 == r2 and list(c1) == list(c2)
+    assert [p.coeffs for p in p1.polys] == [p.coeffs for p in p2.polys]
+    assert t1.sponge.state == t2.sponge.state
+
+
+def test_sharded_msm_matches_host(cpu_mesh):
+    n = 80  # not a multiple of 8: exercises shard padding
     g1 = hc.g1_generator()
     pts_h = [hc.g1_mul(g1, rng.randrange(1, R)) for _ in range(n)]
     scal = [rng.randrange(R) for _ in range(n)]
-    c = 4
     want = hc.g1_msm(pts_h, scal)
 
     with jax.default_device(jax.devices("cpu")[0]):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         pts = jc.g1_from_affine_host(pts_h)
-        sh = NamedSharding(cpu_mesh, P(pmesh.AXIS, None))
-        pts = jax.tree_util.tree_map(lambda co: jax.device_put(co, sh), pts)
-        digits = msm._digits_from_scalars(jnp.asarray(FR.to_limbs(scal)), c)
-        digits = jax.device_put(
-            digits, NamedSharding(cpu_mesh, P(None, pmesh.AXIS))
-        )
-        f = pmesh.sharded_msm_bucket_phase(cpu_mesh, c)
-        wins = f(*pts, digits)
-        got = msm._combine_windows_host(wins, c, "g1")
-        assert got == want
+        scal_dev = jnp.asarray(FR.to_limbs(scal))
+        single = msm.msm_g1(pts, scal_dev, c=4)
+        with pmesh.use_mesh(cpu_mesh):
+            sharded = msm.msm_g1(pts, scal_dev, c=4)
+    assert single == want
+    assert sharded == want
+
+
+def test_sharded_multi_msm_matches(cpu_mesh):
+    K, N = 16, 8
+    g1 = hc.g1_generator()
+    basis_h = [hc.g1_mul(g1, rng.randrange(1, R)) for _ in range(N)]
+    scal = [[rng.randrange(R) for _ in range(N)] for _ in range(K)]
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        basis = jc.g1_from_affine_host(basis_h)
+        canon = jnp.stack([jnp.asarray(FR.to_limbs(row)) for row in scal])
+        got = pmesh.sharded_multi_msm(cpu_mesh, "g1", basis, canon, 4)
+        for i in range(K):
+            one = jax.tree_util.tree_map(lambda a, i=i: a[i : i + 1], got)
+            assert jc.g1_to_affine_host(one)[0] == hc.g1_msm(
+                basis_h, scal[i]
+            )

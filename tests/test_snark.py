@@ -12,6 +12,8 @@ from testudo_tpu.fields.bls12_377 import R
 from testudo_tpu.core import r1cs, snark, spark
 from testudo_tpu.poseidon.transcript import PoseidonTranscript, fr_params
 
+pytestmark = pytest.mark.slow  # compile-heavy: CI slow tier
+
 rng = random.Random(41)
 
 

@@ -16,8 +16,9 @@ Scheme (commitments in G1, masks in G2; the G2 variant mirrors it):
     quotient q_i = hi - lo committed with powers_of_g[i+1].
   - check: e(C - g^v, h) == prod_i e(pi_i, h^{t_i - a_i}).
 
-SRS generation is deterministic from a seed and runs on device via batched
-fixed-base ladders over the eq(t, .) tables.
+Curve-generic: all group work routes through a curves.profile.CurveProfile
+(default BLS12-377 with device Pallas backends; BLS12-381 with host
+backends), mirroring the reference's genericity over `E: Pairing`.
 """
 from __future__ import annotations
 
@@ -29,30 +30,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields.bls12_377 import R
-from ..fields.host import Fq12
-from ..curves import host_curve as hc
-from ..curves import pairing as pr
+from ..curves import profile as cprof
 from ..poly import dense
-from ..tpu import curve as jc
 from ..tpu import field as jf
-from ..tpu import msm
-from ..tpu.field import FR
+
+
+def _default_profile() -> "cprof.CurveProfile":
+    return cprof.bls12_377()
 
 
 @dataclass
 class CommitterKey:
     nv: int
-    powers_of_g: List  # device projective G1 batches, level i has 2^(nv-i)
-    powers_of_h: List  # device projective G2 batches
+    powers_of_g: List  # backend reprs, level i has 2^(nv-i) points
+    powers_of_h: List
     g: Tuple  # host affine G1 generator
     h: Tuple  # host affine G2 generator
+    profile: object = None
+
+    def __post_init__(self):
+        if self.profile is None:
+            self.profile = _default_profile()
 
     def trim(self, nv: int) -> "CommitterKey":
         cut = self.nv - nv
         assert cut >= 0
         return CommitterKey(
-            nv, self.powers_of_g[cut:], self.powers_of_h[cut:], self.g, self.h
+            nv, self.powers_of_g[cut:], self.powers_of_h[cut:], self.g,
+            self.h, self.profile,
         )
 
 
@@ -63,19 +68,27 @@ class VerifierKey:
     h: Tuple
     g_mask: List  # [g^{t_i}] host affine
     h_mask: List  # [h^{t_i}] host affine
+    profile: object = None
+
+    def __post_init__(self):
+        if self.profile is None:
+            self.profile = _default_profile()
 
     def trim(self, nv: int) -> "VerifierKey":
         cut = self.nv - nv
         assert cut >= 0
-        return VerifierKey(nv, self.g, self.h, self.g_mask[cut:], self.h_mask[cut:])
+        return VerifierKey(
+            nv, self.g, self.h, self.g_mask[cut:], self.h_mask[cut:],
+            self.profile,
+        )
 
 
-def _seed_scalars(seed: bytes, n: int) -> List[int]:
+def _seed_scalars(seed: bytes, n: int, modulus: int) -> List[int]:
     out = []
     ctr = 0
     while len(out) < n:
         h = hashlib.shake_256(seed + ctr.to_bytes(8, "little")).digest(40)
-        v = int.from_bytes(h, "little") % R
+        v = int.from_bytes(h, "little") % modulus
         if v != 0:
             out.append(v)
         ctr += 1
@@ -86,7 +99,7 @@ def ark_setup_draws(nv: int) -> Tuple[Tuple, Tuple, List[int]]:
     """The (g, h, t) draws of `MultilinearPC::setup(nv, ark_std::test_rng())`
     (dense_mlpoly.rs:193-195 -> ark-poly-commit multilinear_pc setup):
     g = G1::rand, h = G2::rand, then nv Fr::rand, all from the fixed-seed
-    ChaCha12 StdRng (utils/ark_rng.py).
+    ChaCha12 StdRng (utils/ark_rng.py).  BLS12-377 only.
 
     The returned t vector is REVERSED: ark binds variables LSB-first while
     this package binds MSB-first (module docstring), and the reference
@@ -104,73 +117,89 @@ def ark_setup_draws(nv: int) -> Tuple[Tuple, Tuple, List[int]]:
     return g, h, list(reversed(ts))
 
 
-def setup(nv: int, seed: Optional[bytes] = None) -> Tuple[CommitterKey, VerifierKey]:
+def setup(
+    nv: int,
+    seed: Optional[bytes] = None,
+    profile: Optional["cprof.CurveProfile"] = None,
+) -> Tuple[CommitterKey, VerifierKey]:
     """Deterministic trusted setup.
 
-    Default (seed=None): the reference's derivation — ark test_rng draws
-    (dense_mlpoly.rs:193-195), so the SRS group elements match the Rust
-    snapshot's.  With an explicit seed: a Shake256-derived stream over the
-    fixed generators (useful for independent test SRS)."""
-    if seed is None:
+    Default (seed=None, BLS12-377): the reference's derivation — ark
+    test_rng draws (dense_mlpoly.rs:193-195), so the SRS group elements
+    match the Rust snapshot's.  With an explicit seed (or any other
+    curve): a Shake256-derived stream over the fixed generators."""
+    profile = profile or _default_profile()
+    spec = profile.fr_spec
+    if seed is None and profile.name == "bls12_377":
         g, h, ts = ark_setup_draws(nv)
     else:
-        ts = _seed_scalars(seed, nv)
-        g = hc.g1_generator()
-        h = hc.g2_generator()
+        ts = _seed_scalars(seed or b"testudo-tpu-pst-srs", nv, profile.R)
+        g = profile.g1_generator()
+        h = profile.g2_generator()
     # eq tables for every suffix level (level nv is the empty product = 1),
-    # concatenated so the fixed-base ladder compiles and runs ONCE.
-    tables = [dense.eq_evals(ts[i:]) for i in range(nv)]
-    tables.append(jnp.asarray(FR.encode(1)).reshape(1, FR.nlimbs))
+    # concatenated so the backend's fixed-base pass runs ONCE.
+    tables = [dense.eq_evals(ts[i:], spec) for i in range(nv)]
+    tables.append(jnp.asarray(spec.encode(1)).reshape(1, spec.nlimbs))
     sizes = [t.shape[0] for t in tables]
-    total = sum(sizes)
-    pad = (1 << (total - 1).bit_length()) - total
-    cat = jnp.concatenate(
-        tables + ([jnp.zeros((pad, FR.nlimbs), jnp.uint32)] if pad else []),
-        axis=0,
-    )
-    cat_canon = _to_canon_scalars(cat)
-    all_g = jc.fixed_base_mul_g1(cat_canon, g)
-    all_h = jc.fixed_base_mul_g2(cat_canon, h)
+    cat = jnp.concatenate(tables, axis=0)
+    scalars = spec.decode(np.asarray(cat))
+    # pad to a power of two: bounds the ladder's jit-shape variety
+    pad = (1 << max(0, (len(scalars) - 1).bit_length())) - len(scalars)
+    scalars = scalars + [0] * pad
+    all_g = profile.g1b.fixed_base_mul(g, scalars)
+    all_h = profile.g2b.fixed_base_mul(h, scalars)
     powers_of_g, powers_of_h = [], []
     off = 0
     for s in sizes:
-        powers_of_g.append(
-            jax.tree_util.tree_map(lambda c, o=off, k=s: c[o : o + k], all_g)
-        )
-        powers_of_h.append(
-            jax.tree_util.tree_map(lambda c, o=off, k=s: c[o : o + k], all_h)
-        )
+        powers_of_g.append(profile.g1b.slice(all_g, off, off + s))
+        powers_of_h.append(profile.g2b.slice(all_h, off, off + s))
         off += s
-    g_mask = [hc.g1_mul(g, t) for t in ts]
-    h_mask = [hc.g2_mul(h, t) for t in ts]
-    ck = CommitterKey(nv, powers_of_g, powers_of_h, g, h)
-    vk = VerifierKey(nv, g, h, g_mask, h_mask)
+    g_mask = [profile.g1_mul(g, t) for t in ts]
+    h_mask = [profile.g2_mul(h, t) for t in ts]
+    ck = CommitterKey(nv, powers_of_g, powers_of_h, g, h, profile)
+    vk = VerifierKey(nv, g, h, g_mask, h_mask, profile)
     return ck, vk
 
 
 # -- conversion helpers -----------------------------------------------------
 
 
-def _to_canon_scalars(evals_mont: jnp.ndarray) -> jnp.ndarray:
+def _to_canon_scalars(evals_mont: jnp.ndarray, spec=None) -> jnp.ndarray:
+    from ..tpu.field import FR
+
+    spec = spec or FR
     ones = jnp.broadcast_to(
-        jnp.asarray(jf._int_to_limbs(1, FR.nlimbs)), evals_mont.shape
+        jnp.asarray(jf._int_to_limbs(1, spec.nlimbs)), evals_mont.shape
     )
-    return jf.mont_mul(FR, evals_mont, ones)
+    return jf.mont_mul(spec, evals_mont, ones)
+
+
+def _msm_table(profile, backend, repr_, table_mont: jnp.ndarray):
+    """Backend MSM with a Montgomery device table as scalars."""
+    spec = profile.fr_spec
+    if isinstance(backend, cprof.HostGroupBackend):
+        return backend.msm(repr_, spec.decode(np.asarray(table_mont)))
+    from ..tpu import msm
+
+    canon = _to_canon_scalars(table_mont, spec)
+    fn = msm.msm_g1 if backend.group == "g1" else msm.msm_g2
+    return fn(repr_, canon)
 
 
 # -- G1 commitments ---------------------------------------------------------
 
 
 def commit(ck: CommitterKey, evals_mont: jnp.ndarray):
-    """Commit to a poly given its (2^nv, 16) Montgomery eval table."""
+    """Commit to a poly given its (2^nv, nlimbs) Montgomery eval table."""
     n = evals_mont.shape[0]
     nv = n.bit_length() - 1
     level = ck.nv - nv
-    return msm.msm_g1(ck.powers_of_g[level], _to_canon_scalars(evals_mont))
+    return _msm_table(ck.profile, ck.profile.g1b, ck.powers_of_g[level], evals_mont)
 
 
 def open_(ck: CommitterKey, evals_mont: jnp.ndarray, point: List[int]) -> List:
     """Open at `point` (MSB-first, Spartan order).  Returns [pi_i] G1 affine."""
+    spec = ck.profile.fr_spec
     n = evals_mont.shape[0]
     nv = n.bit_length() - 1
     assert len(point) == nv
@@ -179,10 +208,12 @@ def open_(ck: CommitterKey, evals_mont: jnp.ndarray, point: List[int]) -> List:
     proofs = []
     for i in range(nv):
         half = r.shape[0] // 2
-        q = jf.sub(FR, r[half:], r[:half])
-        rdev = dense.encode_scalar(point[i])
-        r = dense.bound_top(r, rdev)
-        proofs.append(msm.msm_g1(ck.powers_of_g[level + i + 1], _to_canon_scalars(q)))
+        q = jf.sub(spec, r[half:], r[:half])
+        rdev = dense.encode_scalar(point[i], spec)
+        r = dense.bound_top(r, rdev, spec)
+        proofs.append(
+            _msm_table(ck.profile, ck.profile.g1b, ck.powers_of_g[level + i + 1], q)
+        )
     return proofs
 
 
@@ -194,20 +225,21 @@ def check(
     proofs: List,
 ) -> bool:
     """e(C - g^v, h) == prod e(pi_i, h^{t_i - a_i})."""
+    pf = vk.profile
     nv = len(point)
     assert len(proofs) == nv
     vkt = vk.trim(nv) if vk.nv != nv else vk
-    left_pt = hc.g1_add(commitment, hc.g1_neg(hc.g1_mul(vk.g, value % R)))
+    left_pt = pf.g1_add(commitment, pf.g1_neg(pf.g1_mul(vk.g, value % pf.R)))
     g1s = [left_pt]
-    g2s = [hc.g2_neg(vk.h)]
+    g2s = [pf.g2_neg(vk.h)]
     for i in range(nv):
-        h_term = hc.g2_add(
-            vkt.h_mask[i], hc.g2_neg(hc.g2_mul(vk.h, point[i] % R))
+        h_term = pf.g2_add(
+            vkt.h_mask[i], pf.g2_neg(pf.g2_mul(vk.h, point[i] % pf.R))
         )
         g1s.append(proofs[i])
         g2s.append(h_term)
     # e(C - g^v, -h) * prod e(pi_i, h^{t_i - a_i}) == 1
-    return pr.multi_pairing(g1s, g2s) == Fq12.one()
+    return pf.multi_pairing(g1s, g2s) == pf.fq12_one()
 
 
 # -- G2 commitments (for MIPP's p_h) ---------------------------------------
@@ -218,11 +250,12 @@ def commit_g2(ck: CommitterKey, evals_mont: jnp.ndarray):
     n = evals_mont.shape[0]
     nv = n.bit_length() - 1
     level = ck.nv - nv
-    return msm.msm_g2(ck.powers_of_h[level], _to_canon_scalars(evals_mont))
+    return _msm_table(ck.profile, ck.profile.g2b, ck.powers_of_h[level], evals_mont)
 
 
 def open_g2(ck: CommitterKey, evals_mont: jnp.ndarray, point: List[int]) -> List:
     """Open a G2-side commitment: proofs live in G2."""
+    spec = ck.profile.fr_spec
     n = evals_mont.shape[0]
     nv = n.bit_length() - 1
     level = ck.nv - nv
@@ -230,10 +263,12 @@ def open_g2(ck: CommitterKey, evals_mont: jnp.ndarray, point: List[int]) -> List
     proofs = []
     for i in range(nv):
         half = r.shape[0] // 2
-        q = jf.sub(FR, r[half:], r[:half])
-        rdev = dense.encode_scalar(point[i])
-        r = dense.bound_top(r, rdev)
-        proofs.append(msm.msm_g2(ck.powers_of_h[level + i + 1], _to_canon_scalars(q)))
+        q = jf.sub(spec, r[half:], r[:half])
+        rdev = dense.encode_scalar(point[i], spec)
+        r = dense.bound_top(r, rdev, spec)
+        proofs.append(
+            _msm_table(ck.profile, ck.profile.g2b, ck.powers_of_h[level + i + 1], q)
+        )
     return proofs
 
 
@@ -245,15 +280,16 @@ def check_g2(
     proofs: List,
 ) -> bool:
     """e(g, C_h - h^v) == prod e(g^{t_i - a_i}, pi_i)  (mirrors check_2)."""
+    pf = vk.profile
     nv = len(point)
     vkt = vk.trim(nv) if vk.nv != nv else vk
-    right_pt = hc.g2_add(commitment_h, hc.g2_neg(hc.g2_mul(vk.h, value % R)))
-    g1s = [hc.g1_neg(vk.g)]
+    right_pt = pf.g2_add(commitment_h, pf.g2_neg(pf.g2_mul(vk.h, value % pf.R)))
+    g1s = [pf.g1_neg(vk.g)]
     g2s = [right_pt]
     for i in range(nv):
-        g_term = hc.g1_add(
-            vkt.g_mask[i], hc.g1_neg(hc.g1_mul(vk.g, point[i] % R))
+        g_term = pf.g1_add(
+            vkt.g_mask[i], pf.g1_neg(pf.g1_mul(vk.g, point[i] % pf.R))
         )
         g1s.append(g_term)
         g2s.append(proofs[i])
-    return pr.multi_pairing(g1s, g2s) == Fq12.one()
+    return pf.multi_pairing(g1s, g2s) == pf.fq12_one()

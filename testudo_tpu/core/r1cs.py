@@ -47,10 +47,13 @@ class SparseMatPolynomial:
     vals: List[int]  # canonical Fr ints
 
     _vals_dev: object = None
+    spec: object = FR  # scalar FieldSpec (curve-generic axis)
 
     def vals_dev(self) -> jnp.ndarray:
         if self._vals_dev is None:
-            object.__setattr__(self, "_vals_dev", dense.encode_table(self.vals))
+            object.__setattr__(
+                self, "_vals_dev", dense.encode_table(self.vals, self.spec)
+            )
         return self._vals_dev
 
     @property
@@ -59,30 +62,36 @@ class SparseMatPolynomial:
 
     def multiply_vec(self, num_rows: int, num_cols: int, z_dev: jnp.ndarray) -> jnp.ndarray:
         """(M z): out[row] += val * z[col]  — device gather + segment sum."""
-        prods = jf.mont_mul(FR, self.vals_dev(), z_dev[jnp.asarray(self.cols)])
+        prods = jf.mont_mul(
+            self.spec, self.vals_dev(), z_dev[jnp.asarray(self.cols)]
+        )
         sums = jax.ops.segment_sum(
             prods, jnp.asarray(self.rows), num_segments=num_rows
         )
-        return jf._fold_wide(FR, sums)
+        return jf._fold_wide(self.spec, sums)
 
     def eval_table(self, eq_rx_dev: jnp.ndarray, num_rows: int, num_cols: int) -> jnp.ndarray:
         """out[col] += val * eq_rx[row] (compute_eval_table_sparse)."""
-        prods = jf.mont_mul(FR, self.vals_dev(), eq_rx_dev[jnp.asarray(self.rows)])
+        prods = jf.mont_mul(
+            self.spec, self.vals_dev(), eq_rx_dev[jnp.asarray(self.rows)]
+        )
         sums = jax.ops.segment_sum(
             prods, jnp.asarray(self.cols), num_segments=num_cols
         )
-        return jf._fold_wide(FR, sums)
+        return jf._fold_wide(self.spec, sums)
 
     def evaluate(self, rx: Sequence[int], ry: Sequence[int]) -> int:
         """M~(rx, ry) = sum val * chi_row(rx) * chi_col(ry)."""
-        eq_rx = dense.eq_evals(rx)
-        eq_ry = dense.eq_evals(ry)
+        eq_rx = dense.eq_evals(rx, self.spec)
+        eq_ry = dense.eq_evals(ry, self.spec)
         prods = jf.mont_mul(
-            FR,
-            jf.mont_mul(FR, self.vals_dev(), eq_rx[jnp.asarray(self.rows)]),
+            self.spec,
+            jf.mont_mul(
+                self.spec, self.vals_dev(), eq_rx[jnp.asarray(self.rows)]
+            ),
             eq_ry[jnp.asarray(self.cols)],
         )
-        return dense.decode_scalar(jf.reduce_sum(FR, prods))
+        return dense.decode_scalar(jf.reduce_sum(self.spec, prods), self.spec)
 
     def serialize(self) -> bytes:
         """CanonicalSerialize-compatible layout: usize fields as u64 LE,
@@ -115,18 +124,20 @@ class R1CSInstance:
         A: List[Tuple[int, int, int]],
         B: List[Tuple[int, int, int]],
         C: List[Tuple[int, int, int]],
+        spec=FR,
     ) -> "R1CSInstance":
         assert num_cons & (num_cons - 1) == 0
         assert num_vars & (num_vars - 1) == 0
         assert num_inputs < num_vars
         nx = _log2(num_cons)
         ny = _log2(2 * num_vars)
+        m = spec.modulus
 
         def mk(entries):
             rows = np.asarray([e[0] for e in entries], dtype=np.int32)
             cols = np.asarray([e[1] for e in entries], dtype=np.int32)
-            vals = [e[2] % R for e in entries]
-            return SparseMatPolynomial(nx, ny, rows, cols, vals)
+            vals = [e[2] % m for e in entries]
+            return SparseMatPolynomial(nx, ny, rows, cols, vals, spec=spec)
 
         return R1CSInstance(num_cons, num_vars, num_inputs, mk(A), mk(B), mk(C))
 
@@ -154,14 +165,16 @@ class R1CSInstance:
         z = list(vars_) + [1] + list(inputs)
         zc = {i: v for i, v in enumerate(z)}
 
+        mod = self.A.spec.modulus
+
         def mul_vec(m: SparseMatPolynomial):
             out = [0] * self.num_cons
             for r_, c_, v in zip(m.rows, m.cols, m.vals):
-                out[int(r_)] = (out[int(r_)] + v * zc.get(int(c_), 0)) % R
+                out[int(r_)] = (out[int(r_)] + v * zc.get(int(c_), 0)) % mod
             return out
 
         Az, Bz, Cz = mul_vec(self.A), mul_vec(self.B), mul_vec(self.C)
-        return all(a * b % R == c % R for a, b, c in zip(Az, Bz, Cz))
+        return all(a * b % mod == c % mod for a, b, c in zip(Az, Bz, Cz))
 
     def multiply_vec_dev(self, z_dev: jnp.ndarray):
         nc, ncols = self.num_cons, z_dev.shape[0]
@@ -187,14 +200,15 @@ class R1CSInstance:
 
     @staticmethod
     def produce_synthetic_r1cs(
-        num_cons: int, num_vars: int, num_inputs: int, seed: int = 0
+        num_cons: int, num_vars: int, num_inputs: int, seed: int = 0, spec=FR
     ):
         """Deterministic analogue of r1csinstance.rs:166-242."""
         import random
 
+        m = spec.modulus
         rng = random.Random(seed)
         size_z = num_vars + num_inputs + 1
-        Z = [rng.randrange(R) for _ in range(size_z)]
+        Z = [rng.randrange(m) for _ in range(size_z)]
         Z[num_vars] = 1
         A, B, C = [], [], []
         for i in range(num_cons):
@@ -202,14 +216,14 @@ class R1CSInstance:
             b_idx = (i + 2) % size_z
             A.append((i, a_idx, 1))
             B.append((i, b_idx, 1))
-            ab = Z[a_idx] * Z[b_idx] % R
+            ab = Z[a_idx] * Z[b_idx] % m
             c_idx = (i + 3) % size_z
             cv = Z[c_idx]
             if cv == 0:
                 C.append((i, num_vars, ab))
             else:
-                C.append((i, c_idx, ab * pow(cv, -1, R) % R))
-        inst = R1CSInstance.new(num_cons, num_vars, num_inputs, A, B, C)
+                C.append((i, c_idx, ab * pow(cv, -1, m) % m))
+        inst = R1CSInstance.new(num_cons, num_vars, num_inputs, A, B, C, spec)
         vars_, inputs = Z[:num_vars], Z[num_vars + 1 :]
         assert inst.is_sat(vars_, inputs)
         return inst, vars_, inputs

@@ -62,11 +62,11 @@ class R1CSGens:
     vk: pst.VerifierKey
 
     @staticmethod
-    def setup(num_vars: int) -> "R1CSGens":
+    def setup(num_vars: int, profile=None) -> "R1CSGens":
         """PolyCommitmentGens::setup equivalent: SRS over num_vars/2 + odd
         variables (dense_mlpoly.rs:185-198)."""
         nv = num_vars.bit_length() - 1
-        ck, vk = pst.setup(nv // 2 + (nv % 2))
+        ck, vk = pst.setup(nv // 2 + (nv % 2), profile=profile)
         return R1CSGens(ck, vk)
 
 
@@ -78,33 +78,45 @@ def prove(
     transcript,
 ) -> Tuple[R1CSProof, List[int], List[int]]:
     assert len(inputs) < len(vars_)
+    profile = gens.ck.profile
+    spec = profile.fr_spec
+    R = profile.R  # noqa: N806 — scalar modulus of the active curve
 
-    vars_table = dense.encode_table(vars_)
-    pl = sqrt_pst.Polynomial.from_evaluations(vars_table)
+    vars_table = dense.encode_table(vars_, spec)
+    pl = sqrt_pst.Polynomial.from_evaluations(vars_table, profile)
     comm_dev, t = pl.commit(gens.ck)
-    transcript.append_gt(t)
+    transcript.append_bytes(profile.ser_gt(t))
 
     initial_state = transcript.challenge_scalar(R)
-    # Re-key with a single-element absorb (new_from_state) — the semantics
-    # the verifier circuit replays (constraints.rs:35-41).  The snapshot's
-    # r1csproof.rs:262 uses the byte-serialized variant (new_from_state2),
-    # one of the fork's internal inconsistencies; we resolve toward the
-    # circuit-coherent upstream behavior.
+    # RECORDED DIVERGENCE (VERDICT r2 #5): the snapshot's r1csproof.rs:262
+    # re-keys with new_from_state2 (serialize-append of the Fr challenge),
+    # but its OWN Groth16 verifier circuit re-keys by absorbing the
+    # challenge as one field element (constraints.rs:23-62
+    # PoseidonTranscripVar::new), and R1CSVerifierProof::verify at :464
+    # uses new_from_state — the fork is internally inconsistent here (it
+    # is frozen mid-refactor, SURVEY.md "fork status").  A prover that
+    # used new_from_state2 could never satisfy the circuit it must later
+    # prove with Groth16, so we resolve toward the circuit-coherent
+    # upstream semantics: new_from_state everywhere.  The snapshot's exact
+    # byte behavior remains available as
+    # transcript.new_from_state2_scalar() and is pinned by the
+    # fr_new_from_state2_challenge fixture (tests/fixtures/vectors.json).
     transcript.new_from_state(initial_state)
     transcript.append_scalar_vector(inputs, R)
 
     z = inst.z_vector(vars_, inputs)
-    z_dev = dense.encode_table(z)
+    z_dev = dense.encode_table(z, spec)
 
     num_rounds_x = inst.num_cons.bit_length() - 1
     num_rounds_y = len(z).bit_length() - 1
 
     tau = transcript.challenge_scalar_vec(R, num_rounds_x)
-    poly_tau = dense.eq_evals(tau)
+    poly_tau = dense.eq_evals(tau, spec)
     poly_Az, poly_Bz, poly_Cz = inst.multiply_vec_dev(z_dev)
 
     sc1, rx, claims1 = sumcheck.prove_cubic_with_additive_term(
-        0, num_rounds_x, poly_tau, poly_Az, poly_Bz, poly_Cz, transcript
+        0, num_rounds_x, poly_tau, poly_Az, poly_Bz, poly_Cz, transcript,
+        spec,
     )
     _tau_claim, Az_claim, Bz_claim, Cz_claim = claims1
     prod_Az_Bz = Az_claim * Bz_claim % R
@@ -114,25 +126,25 @@ def prove(
     r_C = transcript.challenge_scalar(R)
     claim_phase2 = (r_A * Az_claim + r_B * Bz_claim + r_C * Cz_claim) % R
 
-    evals_rx = dense.eq_evals(rx)
+    evals_rx = dense.eq_evals(rx, spec)
     eA, eB, eC = inst.compute_eval_table_sparse(evals_rx, len(z))
     rA_d, rB_d, rC_d = (
-        dense.encode_scalar(r_A),
-        dense.encode_scalar(r_B),
-        dense.encode_scalar(r_C),
+        dense.encode_scalar(r_A, spec),
+        dense.encode_scalar(r_B, spec),
+        dense.encode_scalar(r_C, spec),
     )
     evals_ABC = jf.add(
-        FR,
+        spec,
         jf.add(
-            FR,
-            jf.mont_mul(FR, eA, rA_d),
-            jf.mont_mul(FR, eB, rB_d),
+            spec,
+            jf.mont_mul(spec, eA, rA_d),
+            jf.mont_mul(spec, eB, rB_d),
         ),
-        jf.mont_mul(FR, eC, rC_d),
+        jf.mont_mul(spec, eC, rC_d),
     )
 
     sc2, ry, _claims2 = sumcheck.prove_quad(
-        claim_phase2, num_rounds_y, z_dev, evals_ABC, transcript
+        claim_phase2, num_rounds_y, z_dev, evals_ABC, transcript, spec
     )
 
     transcript_sat_state = transcript.challenge_scalar(R)
@@ -160,7 +172,8 @@ def prove(
     return proof, rx, ry
 
 
-def _sparse_input_poly_eval(inputs: List[int], ry_rest: List[int], num_vars_log: int) -> int:
+def _sparse_input_poly_eval(inputs: List[int], ry_rest: List[int],
+                            num_vars_log: int, modulus: int = R) -> int:
     """Evaluate the sparse input polynomial (const 1 at index 0, inputs at
     1..) at ry[1:] (r1csproof.rs:390-398, constraints.rs:144-215)."""
     entries = [(0, 1)] + [(i + 1, v) for i, v in enumerate(inputs)]
@@ -170,8 +183,8 @@ def _sparse_input_poly_eval(inputs: List[int], ry_rest: List[int], num_vars_log:
         chi = 1
         for j in range(num_vars_log):
             bit = (i >> (num_vars_log - j - 1)) & 1
-            chi = chi * (ry_rest[j] if bit else (1 - ry_rest[j])) % R
-        acc = (acc + val * chi) % R
+            chi = chi * (ry_rest[j] if bit else (1 - ry_rest[j])) % modulus
+        acc = (acc + val * chi) % modulus
     return acc
 
 
@@ -188,7 +201,9 @@ def verify_native(
     the final Z(ry) identity, and the sqrt-PST/MIPP opening check
     (the protocol checks that R1CSVerificationCircuit + Polynomial::verify
     perform; constraints.rs:262-397 and sqrt_pst.rs:232-264)."""
-    transcript.append_gt(proof.t)
+    profile = gens.ck.profile
+    R = profile.R  # noqa: N806
+    transcript.append_bytes(profile.ser_gt(proof.t))
     initial_state = transcript.challenge_scalar(R)
     if initial_state != proof.initial_state:
         return False
@@ -207,7 +222,7 @@ def verify_native(
     Az, Bz, Cz, prod = proof.claims_phase2
     if prod != Az * Bz % R:
         return False
-    taus_bound_rx = dense.eq_evaluate(tau, rx)
+    taus_bound_rx = dense.eq_evaluate(tau, rx, R)
     if (Az * Bz - Cz) % R * taus_bound_rx % R != e1 % R:
         return False
 
@@ -224,7 +239,7 @@ def verify_native(
 
     # Z~(ry) = (1 - ry0) * eval_vars + ry0 * input_poly(ry[1:])
     nv_log = num_vars.bit_length() - 1
-    input_eval = _sparse_input_poly_eval(inputs, ry[1:], nv_log)
+    input_eval = _sparse_input_poly_eval(inputs, ry[1:], nv_log, R)
     z_eval = ((1 - ry[0]) * proof.eval_vars_at_ry + ry[0] * input_eval) % R
     Ar, Br, Cr = inst_evals
     if (r_A * Ar + r_B * Br + r_C * Cr) % R * z_eval % R != e2 % R:

@@ -16,7 +16,9 @@ Differences from the reference (behavior-preserving):
     binds MSB-first, Spartan's own order (see core/pst.py docstring).
 
 Transcript: Fq sponge (PoseidonTranscript over get_bls12377_fq_params),
-exactly like sqrt_pst.rs:170, 233.
+exactly like sqrt_pst.rs:170, 233.  Curve-generic via curves.profile
+(profile rides on the CommitterKey; BLS12-381 runs the same code over
+host group backends).
 """
 from __future__ import annotations
 
@@ -25,15 +27,11 @@ from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..fields.bls12_377 import R
-from ..fields.host import Fq12
-from ..curves import pairing as pr
+from ..curves import profile as cprof
 from ..poly import dense
-from ..tpu import curve as jc
 from ..tpu import field as jf
-from ..tpu import msm
-from ..tpu.field import FR
 from . import mipp, pst
 
 tree_map = jax.tree_util.tree_map
@@ -41,57 +39,62 @@ tree_map = jax.tree_util.tree_map
 
 @dataclass
 class SqrtPstCommitment:
-    comm_dev: object  # device projective G1 batch: per-column commitments
-    t: Fq12  # aggregated pairing commitment T
+    comm_dev: object  # backend G1 batch: per-column commitments
+    t: object  # aggregated pairing commitment T
 
 
 class Polynomial:
     """Mirror of sqrt_pst.rs::Polynomial."""
 
-    def __init__(self, matrix: jnp.ndarray, m: int, odd: int):
-        self.matrix = matrix  # (2^m_row, 2^m_col, 16) Montgomery Fr
+    def __init__(self, matrix: jnp.ndarray, m: int, odd: int, profile=None):
+        self.matrix = matrix  # (2^m_row, 2^m_col, nlimbs) Montgomery Fr
         self.m = m
         self.odd = odd
+        self.profile = profile or cprof.bls12_377()
         self.q: Optional[jnp.ndarray] = None
         self.chis_b: Optional[jnp.ndarray] = None
 
     @staticmethod
-    def from_evaluations(Z: jnp.ndarray) -> "Polynomial":
+    def from_evaluations(Z: jnp.ndarray, profile=None) -> "Polynomial":
+        profile = profile or cprof.bls12_377()
+        spec = profile.fr_spec
         n = Z.shape[0]
         num_vars = n.bit_length() - 1
         m_col = num_vars // 2
         m_row = num_vars - m_col
         # Z[(j << m_col) | i] = matrix[j, i]  (sqrt_pst.rs:58)
-        matrix = Z.reshape(1 << m_row, 1 << m_col, FR.nlimbs)
-        return Polynomial(matrix, m_col, num_vars % 2)
+        matrix = Z.reshape(1 << m_row, 1 << m_col, spec.nlimbs)
+        return Polynomial(matrix, m_col, num_vars % 2, profile)
 
     @property
     def m_row(self) -> int:
         return self.m + self.odd
 
-    def commit(self, ck: pst.CommitterKey) -> Tuple[object, Fq12]:
+    def commit(self, ck: pst.CommitterKey) -> Tuple[object, object]:
         """PST-commit every column + aggregate T (sqrt_pst.rs:117-149).
 
         All column MSMs share the same basis, so they run as one batched
         Pippenger pass (vmapped windows over columns).
         """
+        pf = self.profile
         level = ck.nv - self.m_row
         basis = ck.powers_of_g[level]
-        cols = jnp.swapaxes(self.matrix, 0, 1)  # (2^m_col, 2^m_row, 16)
-        comm_dev = _multi_msm_g1(basis, pst._to_canon_scalars(cols))
+        cols = jnp.swapaxes(self.matrix, 0, 1)  # (2^m_col, 2^m_row, nlimbs)
+        comm_repr = _multi_msm_g1(pf, basis, cols)
         h_vec = ck.powers_of_h[level + self.odd]
-        t = pr.multi_pairing(
-            jc.g1_to_affine_host(comm_dev), jc.g2_to_affine_host(h_vec)
+        t = pf.multi_pairing(
+            pf.g1b.to_affine(comm_repr), pf.g2b.to_affine(h_vec)
         )
-        return comm_dev, t
+        return comm_repr, t
 
     def _get_q(self, point: List[int]) -> None:
         """q(Y) = sum_j (sum_i p(j, i) chi_i(b)) chi_j(Y) (sqrt_pst.rs:81)."""
+        spec = self.profile.fr_spec
         assert len(point) == 2 * self.m + self.odd
         b = point[self.m + self.odd :]
-        chis = dense.eq_evals(b)  # (2^m, 16) MSB-first == get_chi_i order
-        prods = jf.mont_mul(FR, self.matrix, chis[None, :, :])
-        self.q = jf.reduce_sum(FR, prods, axis=1)  # (2^m_row, 16)
+        chis = dense.eq_evals(b, spec)  # (2^m, nlimbs) MSB-first
+        prods = jf.mont_mul(spec, self.matrix, chis[None, :, :])
+        self.q = jf.reduce_sum(spec, prods, axis=1)  # (2^m_row, nlimbs)
         self.chis_b = chis
 
     def eval(self, point: List[int]) -> int:
@@ -99,28 +102,29 @@ class Polynomial:
         a = point[: self.m + self.odd]
         if self.q is None:
             self._get_q(point)
-        return dense.evaluate(self.q, a)
+        return dense.evaluate(self.q, a, self.profile.fr_spec)
 
     def open(
         self,
         transcript,
-        comm_dev,
+        comm_repr,
         ck: pst.CommitterKey,
         point: List[int],
-        t: Fq12,
+        t,
     ):
         """(U, pst_proof, mipp_proof) (sqrt_pst.rs:168-230)."""
+        pf = self.profile
         a = point[: self.m + self.odd]
         if self.q is None:
             self._get_q(point)
 
         # U = MSM(com_i, chi_i(b)) — the PST commitment of q
-        U = msm.msm_g1(comm_dev, pst._to_canon_scalars(self.chis_b))
+        U = pst._msm_table(pf, pf.g1b, comm_repr, self.chis_b)
 
         level = ck.nv - self.m_row
         h_vec = ck.powers_of_h[level + self.odd]
         mipp_proof = mipp.prove(
-            transcript, ck, comm_dev, self.chis_b, h_vec, U, t
+            transcript, ck, comm_repr, self.chis_b, h_vec, U, t
         )
         # No a-reversal: our PST binds MSB-first natively (cf.
         # sqrt_pst.rs:221-225 where the reference must reverse for ark).
@@ -136,7 +140,7 @@ def verify(
     v: int,
     pst_proof,
     mipp_proof: mipp.MippProof,
-    T: Fq12,
+    T,
 ) -> bool:
     """Mirror of sqrt_pst.rs:232-264."""
     ln = len(point)
@@ -149,12 +153,31 @@ def verify(
     return pst.check(vk, U, a, v, pst_proof)
 
 
-def _multi_msm_g1(basis, scalars_canon: jnp.ndarray):
-    """Many MSMs sharing one point basis: scalars (K, N, 16) -> K points.
+def _multi_msm_g1(pf, basis, cols_mont: jnp.ndarray):
+    """Many MSMs sharing one point basis: Montgomery scalar matrix
+    (K, N, nlimbs) -> backend repr of K points.
 
-    Used for the per-column sqrt-PST commitments.  Runs the windowed
-    bucket pipeline per column via lax.map to bound memory.
+    Used for the per-column sqrt-PST commitments.  With an ambient mesh
+    the K columns shard across devices (parallel/mesh.py, mirroring the
+    rayon par_iter at sqrt_pst.rs:120-126); single-chip BLS12-377 runs
+    the fixed-base shared-table pipeline; host backends loop columns.
     """
+    spec = pf.fr_spec
+    if isinstance(pf.g1b, cprof.HostGroupBackend):
+        K = cols_mont.shape[0]
+        flat = spec.decode(np.asarray(cols_mont).reshape(-1, spec.nlimbs))
+        N = cols_mont.shape[1]
+        rows = [flat[i * N : (i + 1) * N] for i in range(K)]
+        return pf.g1b.multi_msm(basis, rows)
+
+    from ..parallel import mesh as pmesh
+    from ..tpu import msm
+
+    scalars_canon = pst._to_canon_scalars(cols_mont, spec)
     N = scalars_canon.shape[1]
     c = msm._pick_window(N)
+    mesh = pmesh.active_mesh()
+    K = scalars_canon.shape[0]
+    if mesh is not None and mesh.devices.size >= 2 and K >= 2 * mesh.devices.size:
+        return pmesh.sharded_multi_msm(mesh, "g1", basis, scalars_canon, c)
     return msm._multi_msm_device("g1", basis, scalars_canon, c)

@@ -39,16 +39,17 @@ class SumcheckInstanceProof:
 
     def verify(self, claim: int, num_rounds: int, degree_bound: int, transcript):
         """Host verifier (sumcheck.rs:29-63).  Returns (final_eval, r)."""
-        e = claim % R
+        m = self.polys[0].modulus if self.polys else R
+        e = claim % m
         r: List[int] = []
         assert len(self.polys) == num_rounds
         for poly in self.polys:
             assert poly.degree() == degree_bound, "degree bound"
-            assert (poly.eval_at_zero() + poly.eval_at_one()) % R == e, (
+            assert (poly.eval_at_zero() + poly.eval_at_one()) % m == e, (
                 "sumcheck round check failed"
             )
             poly.write_to_transcript(transcript)
-            r_i = transcript.challenge_scalar(R)
+            r_i = transcript.challenge_scalar(m)
             r.append(r_i)
             e = poly.evaluate(r_i)
         return e, r
@@ -57,59 +58,64 @@ class SumcheckInstanceProof:
 # -- device round kernels ---------------------------------------------------
 
 
-@jax.jit
-def _round_evals_cubic_tau(tau, A, B, C):
+@partial(jax.jit, static_argnums=(0,))
+def _round_evals_cubic_tau_s(spec, tau, A, B, C):
     """Evals at {0,2,3} of sum_i tau(X,i) (A(X,i) B(X,i) - C(X,i))."""
     n = tau.shape[0] // 2
 
     def comb(t, a, b, c):
         return jf.mont_mul(
-            FR, t, jf.sub(FR, jf.mont_mul(FR, a, b), c)
+            spec, t, jf.sub(spec, jf.mont_mul(spec, a, b), c)
         )
 
     los = [x[:n] for x in (tau, A, B, C)]
     his = [x[n:] for x in (tau, A, B, C)]
-    e0 = jf.reduce_sum(FR, comb(*los))
-    p2 = [jf.sub(FR, jf.add(FR, h, h), l) for l, h in zip(los, his)]
-    e2 = jf.reduce_sum(FR, comb(*p2))
+    e0 = jf.reduce_sum(spec, comb(*los))
+    p2 = [jf.sub(spec, jf.add(spec, h, h), l) for l, h in zip(los, his)]
+    e2 = jf.reduce_sum(spec, comb(*p2))
     p3 = [
-        jf.add(FR, x2, jf.sub(FR, h, l)) for x2, l, h in zip(p2, los, his)
+        jf.add(spec, x2, jf.sub(spec, h, l)) for x2, l, h in zip(p2, los, his)
     ]
-    e3 = jf.reduce_sum(FR, comb(*p3))
+    e3 = jf.reduce_sum(spec, comb(*p3))
     return jnp.stack([e0, e2, e3])
 
 
-@jax.jit
-def _round_evals_cubic_prod(A, B, C):
+@partial(jax.jit, static_argnums=(0,))
+def _round_evals_cubic_prod_s(spec, A, B, C):
     """Evals at {0,2,3} of sum_i A B C (Spark product layer comb)."""
     n = A.shape[0] // 2
 
     def comb(a, b, c):
-        return jf.mont_mul(FR, jf.mont_mul(FR, a, b), c)
+        return jf.mont_mul(spec, jf.mont_mul(spec, a, b), c)
 
     los = [x[:n] for x in (A, B, C)]
     his = [x[n:] for x in (A, B, C)]
-    e0 = jf.reduce_sum(FR, comb(*los))
-    p2 = [jf.sub(FR, jf.add(FR, h, h), l) for l, h in zip(los, his)]
-    e2 = jf.reduce_sum(FR, comb(*p2))
-    p3 = [jf.add(FR, x2, jf.sub(FR, h, l)) for x2, l, h in zip(p2, los, his)]
-    e3 = jf.reduce_sum(FR, comb(*p3))
+    e0 = jf.reduce_sum(spec, comb(*los))
+    p2 = [jf.sub(spec, jf.add(spec, h, h), l) for l, h in zip(los, his)]
+    e2 = jf.reduce_sum(spec, comb(*p2))
+    p3 = [jf.add(spec, x2, jf.sub(spec, h, l)) for x2, l, h in zip(p2, los, his)]
+    e3 = jf.reduce_sum(spec, comb(*p3))
     return jnp.stack([e0, e2, e3])
 
 
-@jax.jit
-def _round_evals_quad(A, B):
+@partial(jax.jit, static_argnums=(0,))
+def _round_evals_quad_s(spec, A, B):
     n = A.shape[0] // 2
     los = [x[:n] for x in (A, B)]
     his = [x[n:] for x in (A, B)]
-    e0 = jf.reduce_sum(FR, jf.mont_mul(FR, *los))
-    p2 = [jf.sub(FR, jf.add(FR, h, h), l) for l, h in zip(los, his)]
-    e2 = jf.reduce_sum(FR, jf.mont_mul(FR, *p2))
+    e0 = jf.reduce_sum(spec, jf.mont_mul(spec, *los))
+    p2 = [jf.sub(spec, jf.add(spec, h, h), l) for l, h in zip(los, his)]
+    e2 = jf.reduce_sum(spec, jf.mont_mul(spec, *p2))
     return jnp.stack([e0, e2])
 
 
-def _pull(evals_dev) -> List[int]:
-    return FR.decode(np.asarray(evals_dev))
+_round_evals_cubic_tau = partial(_round_evals_cubic_tau_s, FR)
+_round_evals_cubic_prod = partial(_round_evals_cubic_prod_s, FR)
+_round_evals_quad = partial(_round_evals_quad_s, FR)
+
+
+def _pull(evals_dev, spec=FR) -> List[int]:
+    return spec.decode(np.asarray(evals_dev))
 
 
 # -- fused single-dispatch provers ------------------------------------------
@@ -268,6 +274,235 @@ def _prove_fused(kind: str, claim: int, num_rounds: int, tables, transcript):
     return SumcheckInstanceProof(polys), rs, claims
 
 
+@_lru_cache(maxsize=None)
+def _fused_prover_fn_sharded(kind: str, num_rounds: int, modulus: int,
+                             mode0: int, index0: int, mesh):
+    """Sharded one-dispatch sumcheck prover (parallel/mesh.py design):
+    tables arrive in cyclic (D, n/D, limbs) layout sharded on axis 0, so
+    every fold pair (i, i + n/2) is device-local; each round psums the
+    2-3 round evaluations and runs the transcript replicated.  The last
+    log2(D) rounds run on an all_gathered D-element remnant."""
+    from ..parallel import mesh as pmesh
+
+    ntab = {"quad": 2, "cubic_tau": 4, "cubic": 3}[kind]
+    D = int(mesh.devices.size)
+    num_global = D.bit_length() - 1
+    num_local = num_rounds - num_global
+    assert num_local >= 0
+
+    def kernel(tables):
+        if kind == "quad":
+            return _round_evals_quad(tables[0], tables[1])
+        if kind == "cubic_tau":
+            return _round_evals_cubic_tau(*tables)
+        return _round_evals_cubic_prod(*tables)
+
+    def per_shard(*args):
+        tables = [t.reshape(t.shape[1], t.shape[2]) for t in args[:ntab]]
+        state0, e0 = args[ntab], args[ntab + 1]
+        sp = dsponge.DeviceSponge(
+            dsponge._spec_of(modulus), state0, mode0, index0
+        )
+        dt = dsponge.DeviceTranscript(sp)
+        e = e0
+        all_coeffs, all_rs = [], []
+        for i in range(num_rounds):
+            if i == num_local:
+                # remnant: D elements, one per device -> replicate
+                tables = [
+                    jax.lax.all_gather(t, pmesh.AXIS).reshape(D, FR.nlimbs)
+                    for t in tables
+                ]
+            ev = kernel(tables)
+            if i < num_local:
+                ev = jf._fold_wide(FR, jax.lax.psum(ev, pmesh.AXIS))
+            if kind == "quad":
+                evals = [ev[0], jf.sub(FR, e, ev[0]), ev[1]]
+            else:
+                evals = [ev[0], jf.sub(FR, e, ev[0]), ev[1], ev[2]]
+            coeffs = _unipoly_coeffs_dev(evals)
+            for c in coeffs:
+                dt.append_fr_mont(c)
+            r = dt.challenge_fr_mont()
+            tables = [dense.bound_top(t, r) for t in tables]
+            e = _horner_dev(coeffs, r)
+            all_coeffs.append(jnp.stack(coeffs))
+            all_rs.append(r)
+        claims = jnp.stack([t[0] for t in tables])
+        return (
+            jnp.stack(all_coeffs),
+            jnp.stack(all_rs),
+            claims,
+            dt.sponge.state,
+        )
+
+    from jax.sharding import PartitionSpec as P
+
+    spec_t = P(pmesh.AXIS, None, None)
+    rep = P(None)
+    fn = jax.jit(
+        pmesh._shard_map(
+            per_shard,
+            mesh,
+            tuple([spec_t] * ntab + [rep, rep]),
+            (rep, rep, rep, rep),
+        )
+    )
+    ncoeffs = 3 if kind == "quad" else 4
+    fmode, findex = _simulate_schedule(mode0, index0, num_rounds, ncoeffs)
+    return fn, fmode, findex
+
+
+def _prove_fused_sharded(kind: str, claim: int, num_rounds: int, tables,
+                         transcript, mesh):
+    from ..parallel import mesh as pmesh
+
+    modulus = transcript.params.modulus
+    sp = transcript.sponge
+    fn, fmode, findex = _fused_prover_fn_sharded(
+        kind, num_rounds, modulus, sp.mode, sp.index, mesh
+    )
+    spec = dsponge._spec_of(modulus)
+    state0 = jnp.asarray(spec.encode(list(sp.state)))
+    e0 = jnp.asarray(FR.encode(claim % R))
+    tabs = [pmesh.cyclic_split(mesh, t) for t in tables]
+    coeffs_d, rs_d, claims_d, state_d = fn(*tabs, state0, e0)
+    ncoeffs = coeffs_d.shape[1]
+    coeffs = FR.decode(np.asarray(coeffs_d).reshape(-1, FR.nlimbs))
+    rs = FR.decode(np.asarray(rs_d))
+    claims = FR.decode(np.asarray(claims_d))
+    sp.state = spec.decode(np.asarray(state_d))
+    sp.mode, sp.index = fmode, findex
+    polys = [
+        UniPoly(coeffs[i * ncoeffs : (i + 1) * ncoeffs])
+        for i in range(num_rounds)
+    ]
+    return SumcheckInstanceProof(polys), rs, claims
+
+
+def _sharded_mesh_for(tables, num_rounds: int):
+    """The ambient mesh, if the tables divide evenly across it."""
+    from ..parallel import mesh as pmesh
+
+    mesh = pmesh.active_mesh()
+    if mesh is None:
+        return None
+    D = int(mesh.devices.size)
+    n = tables[0].shape[0]
+    if D < 2 or n < D or n % D or (1 << num_rounds) != n:
+        return None
+    return mesh
+
+
+@_lru_cache(maxsize=None)
+def _fused_batched_fn(num_rounds: int, k_par: int, k_seq: int, modulus: int,
+                      mode0: int, index0: int):
+    """One-dispatch batched product sumcheck (sumcheck.rs:220-385): `par`
+    instances share poly_C, `seq` instances carry their own; all instance
+    round evaluations are vmapped and random-linear-combined on device."""
+
+    def rl_combine(coeffs, evs):
+        # evs (k, 16) Montgomery -> sum_i coeffs_i * evs_i  (16,)
+        return jf.reduce_sum(FR, jf.mont_mul(FR, coeffs, evs))
+
+    def fn(A_par, B_par, C_par, A_seq, B_seq, C_seq, coeffs, state0, e0):
+        sp = dsponge.DeviceSponge(
+            dsponge._spec_of(modulus), state0, mode0, index0
+        )
+        dt = dsponge.DeviceTranscript(sp)
+        e = e0
+        all_coeffs, all_rs = [], []
+        vround = jax.vmap(_round_evals_cubic_prod, in_axes=(0, 0, None))
+        vround_seq = jax.vmap(_round_evals_cubic_prod, in_axes=(0, 0, 0))
+        for _ in range(num_rounds):
+            ev_par = vround(A_par, B_par, C_par)  # (k_par, 3, 16)
+            evs = ev_par
+            if k_seq:
+                evs = jnp.concatenate(
+                    [ev_par, vround_seq(A_seq, B_seq, C_seq)], axis=0
+                )
+            comb = [rl_combine(coeffs, evs[:, j]) for j in range(3)]
+            evals = [comb[0], jf.sub(FR, e, comb[0]), comb[1], comb[2]]
+            cs = _unipoly_coeffs_dev(evals)
+            for c in cs:
+                dt.append_fr_mont(c)
+            r = dt.challenge_fr_mont()
+            vbind = jax.vmap(dense.bound_top, in_axes=(0, None))
+            A_par = vbind(A_par, r)
+            B_par = vbind(B_par, r)
+            C_par = dense.bound_top(C_par, r)
+            if k_seq:
+                A_seq = vbind(A_seq, r)
+                B_seq = vbind(B_seq, r)
+                C_seq = vbind(C_seq, r)
+            e = _horner_dev(cs, r)
+            all_coeffs.append(jnp.stack(cs))
+            all_rs.append(r)
+        claims_par = jnp.stack([A_par[:, 0], B_par[:, 0]])  # (2, k_par, 16)
+        c_final = C_par[0]
+        if k_seq:
+            claims_seq = jnp.stack([A_seq[:, 0], B_seq[:, 0], C_seq[:, 0]])
+        else:
+            claims_seq = jnp.zeros((3, 0, FR.nlimbs), jnp.uint32)
+        return (
+            jnp.stack(all_coeffs),
+            jnp.stack(all_rs),
+            claims_par,
+            c_final,
+            claims_seq,
+            dt.sponge.state,
+        )
+
+    jitted = jax.jit(fn)
+    fmode, findex = _simulate_schedule(mode0, index0, num_rounds, 4)
+    return jitted, fmode, findex
+
+
+def _prove_cubic_batched_fused(claim, num_rounds, poly_vec_par, poly_vec_seq,
+                               coeffs, transcript):
+    A_par, B_par, C_par = poly_vec_par
+    A_seq, B_seq, C_seq = poly_vec_seq
+    k_par, k_seq = len(A_par), len(A_seq)
+    modulus = transcript.params.modulus
+    sp = transcript.sponge
+    fn, fmode, findex = _fused_batched_fn(
+        num_rounds, k_par, k_seq, modulus, sp.mode, sp.index
+    )
+    spec = dsponge._spec_of(modulus)
+    state0 = jnp.asarray(spec.encode(list(sp.state)))
+    e0 = jnp.asarray(FR.encode(claim % R))
+    coeffs_mont = jnp.asarray(
+        FR.encode([c % R for c in coeffs])
+    ).reshape(k_par + k_seq, FR.nlimbs)
+    zt = jnp.zeros((0,) + tuple(C_par.shape), jnp.uint32)
+    stack = lambda ts: jnp.stack(ts) if ts else zt
+    coeffs_d, rs_d, claims_par_d, c_final_d, claims_seq_d, state_d = fn(
+        stack(list(A_par)), stack(list(B_par)), C_par,
+        stack(list(A_seq)), stack(list(B_seq)), stack(list(C_seq)),
+        coeffs_mont, state0, e0,
+    )
+    ncoeffs = coeffs_d.shape[1]
+    cs = FR.decode(np.asarray(coeffs_d).reshape(-1, FR.nlimbs))
+    rs = FR.decode(np.asarray(rs_d))
+    sp.state = spec.decode(np.asarray(state_d))
+    sp.mode, sp.index = fmode, findex
+    polys = [
+        UniPoly(cs[i * ncoeffs : (i + 1) * ncoeffs]) for i in range(num_rounds)
+    ]
+    cp = FR.decode(np.asarray(claims_par_d).reshape(-1, FR.nlimbs))
+    claims_prod = (
+        cp[:k_par],
+        cp[k_par : 2 * k_par],
+        FR.decode(np.asarray(c_final_d).reshape(1, FR.nlimbs))[0],
+    )
+    if k_seq:
+        sq = FR.decode(np.asarray(claims_seq_d).reshape(-1, FR.nlimbs))
+        claims_dotp = (sq[:k_seq], sq[k_seq : 2 * k_seq], sq[2 * k_seq :])
+    else:
+        claims_dotp = ([], [], [])
+    return SumcheckInstanceProof(polys), rs, claims_prod, claims_dotp
+
+
 # -- provers ----------------------------------------------------------------
 
 
@@ -279,27 +514,35 @@ def prove_cubic_with_additive_term(
     B: jnp.ndarray,
     C: jnp.ndarray,
     transcript,
+    spec=FR,
 ) -> Tuple[SumcheckInstanceProof, List[int], List[int]]:
     """Phase-1 Spartan sumcheck over tau * (A*B - C) (sumcheck.rs:67-148)."""
-    if _fused_enabled():
+    if _fused_enabled() and num_rounds > 0 and spec is FR:
+        mesh = _sharded_mesh_for((tau, A, B, C), num_rounds)
+        if mesh is not None:
+            return _prove_fused_sharded(
+                "cubic_tau", claim, num_rounds, (tau, A, B, C), transcript,
+                mesh,
+            )
         return _prove_fused(
             "cubic_tau", claim, num_rounds, (tau, A, B, C), transcript
         )
-    e = claim % R
+    m = spec.modulus
+    e = claim % m
     rs: List[int] = []
     polys: List[UniPoly] = []
     for _ in range(num_rounds):
-        e0, e2, e3 = _pull(_round_evals_cubic_tau(tau, A, B, C))
-        poly = UniPoly.from_evals([e0, (e - e0) % R, e2, e3])
+        e0, e2, e3 = _pull(_round_evals_cubic_tau_s(spec, tau, A, B, C), spec)
+        poly = UniPoly.from_evals([e0, (e - e0) % m, e2, e3], m)
         for c in poly.coeffs:
-            transcript.append_scalar(c, R)
-        r_j = transcript.challenge_scalar(R)
+            transcript.append_scalar(c, m)
+        r_j = transcript.challenge_scalar(m)
         rs.append(r_j)
-        rdev = dense.encode_scalar(r_j)
-        tau, A, B, C = (dense.bound_top(x, rdev) for x in (tau, A, B, C))
+        rdev = dense.encode_scalar(r_j, spec)
+        tau, A, B, C = (dense.bound_top(x, rdev, spec) for x in (tau, A, B, C))
         e = poly.evaluate(r_j)
         polys.append(poly)
-    claims = [dense.decode_scalar(x[0]) for x in (tau, A, B, C)]
+    claims = [dense.decode_scalar(x[0], spec) for x in (tau, A, B, C)]
     return SumcheckInstanceProof(polys), rs, claims
 
 
@@ -309,25 +552,32 @@ def prove_quad(
     A: jnp.ndarray,
     B: jnp.ndarray,
     transcript,
+    spec=FR,
 ) -> Tuple[SumcheckInstanceProof, List[int], List[int]]:
     """Phase-2 Spartan sumcheck over A*B (sumcheck.rs:387-443)."""
-    if _fused_enabled():
+    if _fused_enabled() and num_rounds > 0 and spec is FR:
+        mesh = _sharded_mesh_for((A, B), num_rounds)
+        if mesh is not None:
+            return _prove_fused_sharded(
+                "quad", claim, num_rounds, (A, B), transcript, mesh
+            )
         return _prove_fused("quad", claim, num_rounds, (A, B), transcript)
-    e = claim % R
+    m = spec.modulus
+    e = claim % m
     rs: List[int] = []
     polys: List[UniPoly] = []
     for _ in range(num_rounds):
-        e0, e2 = _pull(_round_evals_quad(A, B))
-        poly = UniPoly.from_evals([e0, (e - e0) % R, e2])
+        e0, e2 = _pull(_round_evals_quad_s(spec, A, B), spec)
+        poly = UniPoly.from_evals([e0, (e - e0) % m, e2], m)
         for c in poly.coeffs:
-            transcript.append_scalar(c, R)
-        r_j = transcript.challenge_scalar(R)
+            transcript.append_scalar(c, m)
+        r_j = transcript.challenge_scalar(m)
         rs.append(r_j)
-        rdev = dense.encode_scalar(r_j)
-        A, B = (dense.bound_top(x, rdev) for x in (A, B))
+        rdev = dense.encode_scalar(r_j, spec)
+        A, B = (dense.bound_top(x, rdev, spec) for x in (A, B))
         e = poly.evaluate(r_j)
         polys.append(poly)
-    claims = [dense.decode_scalar(x[0]) for x in (A, B)]
+    claims = [dense.decode_scalar(x[0], spec) for x in (A, B)]
     return SumcheckInstanceProof(polys), rs, claims
 
 
@@ -340,7 +590,12 @@ def prove_cubic(
     transcript,
 ) -> Tuple[SumcheckInstanceProof, List[int], List[int]]:
     """Product sumcheck over A*B*C (sumcheck.rs:149-218)."""
-    if _fused_enabled():
+    if _fused_enabled() and num_rounds > 0:
+        mesh = _sharded_mesh_for((A, B, C), num_rounds)
+        if mesh is not None:
+            return _prove_fused_sharded(
+                "cubic", claim, num_rounds, (A, B, C), transcript, mesh
+            )
         return _prove_fused("cubic", claim, num_rounds, (A, B, C), transcript)
     e = claim % R
     rs: List[int] = []
@@ -375,6 +630,10 @@ def prove_cubic_batched(
     claims_prod = (A_finals, B_finals, C_final) and claims_dotp the seq
     finals.
     """
+    if _fused_enabled() and num_rounds > 0:
+        return _prove_cubic_batched_fused(
+            claim, num_rounds, poly_vec_par, poly_vec_seq, coeffs, transcript
+        )
     A_par, B_par, C_par = poly_vec_par
     A_seq, B_seq, C_seq = poly_vec_seq
     A_par, B_par = list(A_par), list(B_par)

@@ -145,6 +145,38 @@ def g2_is_on_curve(p):
     return _is_on_curve(_Fq2Ops, p)
 
 
+def _msm(F, points, scalars):
+    """Host Pippenger (c = 8) — the ark-blst role for this curve family."""
+    c = 8
+    nbits = max((int(s).bit_length() for s in scalars), default=1)
+    W = max(1, -(-nbits // c))
+    acc = None
+    for w in reversed(range(W)):
+        if acc is not None:
+            for _ in range(c):
+                acc = _add(F, acc, acc)
+        buckets = {}
+        for p, s in zip(points, scalars):
+            d = (int(s) >> (w * c)) & ((1 << c) - 1)
+            if d:
+                buckets[d] = _add(F, buckets.get(d), p)
+        run = None
+        tot = None
+        for d in range(max(buckets) if buckets else 0, 0, -1):
+            run = _add(F, run, buckets.get(d))
+            tot = _add(F, tot, run)
+        acc = _add(F, acc, tot)
+    return acc
+
+
+def g1_msm(points, scalars):
+    return _msm(_FqOps, points, scalars)
+
+
+def g2_msm(points, scalars):
+    return _msm(_Fq2Ops, points, scalars)
+
+
 # ---------------------------------------------------------------------------
 # Generators (deterministic derivation, as for BLS12-377)
 # ---------------------------------------------------------------------------

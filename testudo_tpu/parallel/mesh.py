@@ -1,29 +1,45 @@
 """Multi-chip sharding for the prover's hot paths.
 
 The reference's only parallelism is single-host rayon (SURVEY.md §2.4);
-here the same axes become first-class mesh shardings:
+here the same axes become first-class mesh shardings, and the prover
+consults an ambient mesh context (`use_mesh`) so `r1csproof.prove`,
+`sqrt_pst.Polynomial.commit` and `msm.msm_g1` transparently shard when a
+mesh is active:
 
-  - sumcheck tables: the fold pairs (i, i + n/2) are kept device-local by
-    storing tables as (lo, hi) halves sharded along the element axis, so a
-    round needs NO communication for the fold and one psum of the 3 (or 2)
-    round evaluations;
-  - MSM: points/scalars shard along the batch axis; each chip sorts and
-    accumulates its own bucket partials, which are then combined with a
-    log-depth EC tree over an all_gather (EC addition is not a psum-able
-    reduction — coordinates don't add pointwise);
-  - sqrt-PST column commitments: columns shard across chips (each column's
-    MSM is chip-local), mirroring the rayon par_iter at sqrt_pst.rs:120.
+  - sumcheck tables: sharded CYCLICALLY (global index i lives on device
+    i mod D, i.e. a (D, n/D) layout sharded on axis 0).  The fold pairs
+    (i, i + n/2) then share a device for every round until the table
+    shrinks to D elements, at which point one all_gather of D field
+    elements finishes the tail rounds replicated.  Each round costs one
+    psum of the 2-3 round evaluations; the Poseidon transcript runs
+    replicated on every device (tpu/sponge.py), so a WHOLE sharded
+    sumcheck is still a single dispatch (core/sumcheck.py
+    `_fused_prover_fn_sharded`).
+  - MSM: result-level data parallelism — the batch axis is split across
+    devices and each device runs the complete single-chip pipeline (the
+    fused Pallas bucket kernel on TPU) on its shard; the D partial
+    results are combined with D-1 group additions.  This replaces the
+    round-1 design that exchanged per-chip bucket partials: combining
+    full results moves D points instead of D*W*2^c bucket sums (~18 MB
+    per chip at c=8) and duplicates only the O(W * 2^c) bucket-reduction
+    work — < 1% of the N*W accumulation work for any protocol-sized N —
+    so scaling efficiency is bounded by shard balance, not collectives.
+  - sqrt-PST column commitments: the K column MSMs are independent
+    (rayon par_iter at sqrt_pst.rs:120-126), so columns shard across
+    devices and results concatenate — no reduction at all.
 
 All functions work on any jax.sharding.Mesh with axis "shard" — ICI on a
-real slice, the virtual CPU mesh in tests.
+real slice, the virtual 8-CPU mesh in tests and the driver dryrun.
 """
 from __future__ import annotations
 
+import contextlib
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -41,126 +57,151 @@ def _shard_map(fn, mesh, in_specs, out_specs):
             fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
         )
 
+from ..curves import host_curve as hc
 from ..tpu import curve as jc
 from ..tpu import field as jf
-from ..tpu import msm
 from ..tpu.field import FR
 
 tree_map = jax.tree_util.tree_map
 
 AXIS = "shard"
 
+# ---------------------------------------------------------------------------
+# Ambient mesh context
+# ---------------------------------------------------------------------------
+
+_ACTIVE: list = []
+
+
+def active_mesh() -> Optional[Mesh]:
+    """The mesh the prover should shard over, or None (single-chip)."""
+    return _ACTIVE[-1] if _ACTIVE else None
+
+
+@contextlib.contextmanager
+def use_mesh(mesh: Optional[Mesh]):
+    """Make `mesh` the ambient prover mesh: inside the context,
+    msm.msm_g1 / sqrt_pst.commit / sumcheck provers shard over it.
+    `use_mesh(None)` temporarily disables sharding (used internally so
+    per-shard work doesn't recurse)."""
+    _ACTIVE.append(mesh)
+    try:
+        yield mesh
+    finally:
+        _ACTIVE.pop()
+
 
 def make_mesh(devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
-    import numpy as np
-
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-def shard_table(mesh: Mesh, lo: jnp.ndarray, hi: jnp.ndarray):
-    """Place the (lo, hi) halves of a sumcheck table on the mesh."""
-    sh = NamedSharding(mesh, P(AXIS, None))
-    return jax.device_put(lo, sh), jax.device_put(hi, sh)
+def mesh_devices(mesh: Mesh):
+    return list(mesh.devices.flat)
 
 
-def sharded_quad_round(mesh: Mesh):
-    """Returns a jitted fn: one phase-2 sumcheck round over sharded halves.
+# ---------------------------------------------------------------------------
+# Sumcheck: cyclic table layout helpers (the shard_map rounds live in
+# core/sumcheck.py so the fused prover can share them)
+# ---------------------------------------------------------------------------
 
-    (A_lo, A_hi, B_lo, B_hi) -> (evals (2, 16), A_lo', A_hi', B_lo', B_hi')
-    where evals are the full (psum-reduced) evaluations at {0, 2} and the
-    primed tables are the r-bound halves re-split for the next round.
+
+def cyclic_split(mesh: Mesh, t: jnp.ndarray) -> jnp.ndarray:
+    """(n, limbs) table -> (D, n/D, limbs) cyclic layout sharded on axis 0
+    (global index i = q*D + d -> [d, q])."""
+    D = mesh.devices.size
+    n = t.shape[0]
+    assert n % D == 0, (n, D)
+    td = t.reshape(n // D, D, t.shape[-1]).swapaxes(0, 1)
+    return jax.device_put(td, NamedSharding(mesh, P(AXIS, None, None)))
+
+
+def cyclic_join(t: jnp.ndarray) -> jnp.ndarray:
+    """(D, q, limbs) cyclic layout -> (q*D, limbs) natural order."""
+    D, q, nl = t.shape
+    return t.swapaxes(0, 1).reshape(q * D, nl)
+
+
+# ---------------------------------------------------------------------------
+# MSM: result-level data parallelism
+# ---------------------------------------------------------------------------
+
+
+def sharded_msm(mesh: Mesh, group: str, points, scalars_canon: jnp.ndarray,
+                c: Optional[int] = None):
+    """DP MSM over the mesh: each device runs the full single-chip
+    pipeline (fused Pallas kernels on TPU) on its batch shard; partial
+    results combine with D-1 host group additions.  Returns host affine.
+
+    Zero-padding the batch up to D equal shards is free: zero scalars
+    land in bucket 0, which carries weight 0.
     """
+    from ..tpu import msm
 
-    def per_shard(a_lo, a_hi, b_lo, b_hi, r):
-        e0_part = _partial_sum(jf.mont_mul(FR, a_lo, b_lo))
-        a2 = jf.sub(FR, jf.add(FR, a_hi, a_hi), a_lo)
-        b2 = jf.sub(FR, jf.add(FR, b_hi, b_hi), b_lo)
-        e2_part = _partial_sum(jf.mont_mul(FR, a2, b2))
-        # psum adds limb vectors coordinate-wise (relaxed limbs); fold back
-        # into canonical residues afterwards
-        evals = jf._fold_wide(
-            FR, jax.lax.psum(jnp.stack([e0_part, e2_part]), AXIS)
+    devices = mesh_devices(mesh)
+    D = len(devices)
+    N = scalars_canon.shape[0]
+    shard = -(-N // D)
+    padn = shard * D - N
+    if padn:
+        scalars_canon = jnp.concatenate(
+            [scalars_canon,
+             jnp.zeros((padn, scalars_canon.shape[1]), scalars_canon.dtype)]
         )
-        # fold with r (broadcast (16,) canonical Montgomery scalar)
-        a_new = jf.add(FR, a_lo, jf.mont_mul(FR, jf.sub(FR, a_hi, a_lo), r))
-        b_new = jf.add(FR, b_lo, jf.mont_mul(FR, jf.sub(FR, b_hi, b_lo), r))
-        return evals, a_new, b_new
+        points = tree_map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((padn,) + a.shape[1:], a.dtype)]
+            ),
+            points,
+        )
+    fn = msm.msm_g1 if group == "g1" else msm.msm_g2
+    add = hc.g1_add if group == "g1" else hc.g2_add
+    partials = []
+    with use_mesh(None):  # per-shard work must not recurse into sharding
+        for d, dev in enumerate(devices):
+            sl = slice(d * shard, (d + 1) * shard)
+            pts_d = tree_map(lambda a: jax.device_put(a[sl], dev), points)
+            scal_d = jax.device_put(scalars_canon[sl], dev)
+            partials.append(fn(pts_d, scal_d, c))
+    acc = partials[0]
+    for p in partials[1:]:
+        acc = add(acc, p)
+    return acc
 
-    spec = P(AXIS, None)
-    return jax.jit(
-        _shard_map(per_shard, mesh, (spec, spec, spec, spec, P(None)),
-                   (P(None), spec, spec))
+
+def sharded_multi_msm(mesh: Mesh, group: str, basis, scalars_canon: jnp.ndarray,
+                      c: int):
+    """K independent shared-basis MSMs (sqrt-PST columns) sharded over the
+    mesh along K; per-device results concatenate (no reduction).  Returns
+    a device projective pytree with leading axis K, like
+    msm._multi_msm_device."""
+    from ..tpu import msm
+
+    devices = mesh_devices(mesh)
+    D = len(devices)
+    K = scalars_canon.shape[0]
+    shard = -(-K // D)
+    padk = shard * D - K
+    if padk:
+        scalars_canon = jnp.concatenate(
+            [scalars_canon,
+             jnp.zeros((padk,) + scalars_canon.shape[1:], scalars_canon.dtype)]
+        )
+    parts = []
+    with use_mesh(None):
+        for d, dev in enumerate(devices):
+            sl = slice(d * shard, (d + 1) * shard)
+            basis_d = tree_map(lambda a: jax.device_put(a, dev), basis)
+            scal_d = jax.device_put(scalars_canon[sl], dev)
+            parts.append(msm._multi_msm_device(group, basis_d, scal_d, c))
+    dev0 = devices[0]
+    cat = tree_map(
+        lambda *leaves: jnp.concatenate(
+            [jax.device_put(l, dev0) for l in leaves], axis=0
+        ),
+        *parts,
     )
-
-
-def _partial_sum(x: jnp.ndarray) -> jnp.ndarray:
-    """Local mod-p sum of a (n, 16) table -> (16,)."""
-    return jf.reduce_sum(FR, x)
-
-
-def sharded_msm_bucket_phase(mesh: Mesh, c: int):
-    """Returns a jitted fn computing per-window MSM sums over sharded points.
-
-    (points (X, Y, Z) sharded on batch, digit matrix (W, N) sharded on N)
-    -> (W,) projective sums, combined across chips with a log-depth EC tree
-    over an all_gather of per-chip bucket partials.
-    """
-    nbuckets = 1 << c
-
-    def per_shard(px, py, pz, digits):
-        points = (px, py, pz)
-
-        def one_window(dig):
-            buckets = msm._bucket_accumulate(msm._G1, points, dig, nbuckets)
-            return msm._weighted_bucket_sum(msm._G1, buckets, c)
-
-        local = jax.lax.map(one_window, digits)  # (W,) points, local partials
-        # combine partials across chips: gather then tree-add
-        gathered = tree_map(
-            lambda coord: jax.lax.all_gather(coord, AXIS), local
-        )  # (D, W, ...)
-        ndev = mesh.devices.size
-        acc = tree_map(lambda coord: coord[0], gathered)
-        for d in range(1, ndev):
-            acc = jc.g1_add(acc, tree_map(lambda coord, dd=d: coord[dd], gathered))
-        return acc
-
-    spec_pt = P(AXIS, None)
-    return jax.jit(
-        _shard_map(per_shard, mesh, (spec_pt, spec_pt, spec_pt, P(None, AXIS)),
-                   (P(None), P(None), P(None)))
-    )
-
-
-def sharded_column_commit(mesh: Mesh):
-    """sqrt-PST column commitments: columns sharded across chips; each chip
-    runs the shared-basis Pippenger over its columns (basis replicated)."""
-
-    def per_shard(cols_canon, bx, by, bz):
-        basis = (bx, by, bz)
-        c = 4
-
-        def one_col(scal):
-            wins = msm._msm_windows_impl("g1", basis, scal, c)
-            W = wins[0].shape[0]
-
-            # on-device Horner combine (loop-rolled to keep the graph small)
-            def horner(i, acc):
-                w = W - 2 - i
-                for _ in range(c):
-                    acc = jc.g1_double(acc)
-                step = tree_map(lambda coord: coord[w], wins)
-                return jc.g1_add(acc, step)
-
-            acc0 = tree_map(lambda coord: coord[-1], wins)
-            return jax.lax.fori_loop(0, W - 1, horner, acc0)
-
-        return jax.lax.map(one_col, cols_canon)
-
-    return jax.jit(
-        _shard_map(per_shard, mesh,
-                   (P(AXIS, None, None), P(None, None), P(None, None), P(None, None)),
-                   (P(AXIS, None), P(AXIS, None), P(AXIS, None)))
-    )
+    if padk:
+        cat = tree_map(lambda a: a[:K], cat)
+    return cat

@@ -1,9 +1,15 @@
-"""Dense multilinear polynomials over Fr as device limb arrays.
+"""Dense multilinear polynomials over a scalar field as device limb arrays.
 
 TPU-native counterpart of the reference's DensePolynomial / EqPolynomial /
 IdentityPolynomial (/root/reference/src/dense_mlpoly.rs).  Evaluation tables
-live on device in Montgomery form, shape (2^nv, 16); variable binding and
-equality tables are vectorized; only scalars cross the host boundary.
+live on device in Montgomery form, shape (2^nv, nlimbs); variable binding
+and equality tables are vectorized; only scalars cross the host boundary.
+
+Every function takes an optional `spec` (a tpu.field.FieldSpec) so the
+same machinery serves any scalar field — BLS12-377 Fr by default, BLS12-381
+Fr for the curve-generic protocol path (r1csproof.rs:754-801 proves over
+multiple curves through one generic implementation; here the genericity
+axis is the FieldSpec + curves.profile.CurveProfile pair).
 
 Conventions (identical to the reference):
   - `bound_top` folds index pairs (i, i + n/2): Z'[i] = Z[i] + r (Z[i+n/2]
@@ -15,117 +21,127 @@ Conventions (identical to the reference):
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields.bls12_377 import R
 from ..tpu import field as jf
 from ..tpu.jitutil import eager_jit
 from ..tpu.field import FR
 
-
-def encode_table(values: Sequence[int]) -> jnp.ndarray:
-    """Host canonical ints -> device Montgomery table (n, 16)."""
-    return jnp.asarray(FR.encode(list(values)))
+R = FR.modulus  # default scalar modulus (BLS12-377 Fr)
 
 
-def decode_table(arr) -> List[int]:
-    return FR.decode(np.asarray(arr))
+def encode_table(values: Sequence[int], spec: jf.FieldSpec = FR) -> jnp.ndarray:
+    """Host canonical ints -> device Montgomery table (n, nlimbs)."""
+    return jnp.asarray(spec.encode(list(values)))
 
 
-def decode_scalar(arr) -> int:
-    return FR.decode(np.asarray(arr).reshape(1, -1))[0]
+def decode_table(arr, spec: jf.FieldSpec = FR) -> List[int]:
+    return spec.decode(np.asarray(arr))
 
 
-def encode_scalar(x: int) -> jnp.ndarray:
-    return jnp.asarray(FR.encode(x % R))
+def decode_scalar(arr, spec: jf.FieldSpec = FR) -> int:
+    return spec.decode(np.asarray(arr).reshape(1, -1))[0]
 
 
-@jax.jit
-def bound_top(Z: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    """One variable-binding round: fold halves with challenge r."""
+def encode_scalar(x: int, spec: jf.FieldSpec = FR) -> jnp.ndarray:
+    return jnp.asarray(spec.encode(x % spec.modulus))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _bound_top(Z: jnp.ndarray, r: jnp.ndarray, spec: jf.FieldSpec) -> jnp.ndarray:
     n = Z.shape[0] // 2
     lo, hi = Z[:n], Z[n:]
-    return jf.add(FR, lo, jf.mont_mul(FR, jf.sub(FR, hi, lo), r))
+    return jf.add(spec, lo, jf.mont_mul(spec, jf.sub(spec, hi, lo), r))
 
 
-@jax.jit
-def bound_bot(Z: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    """Fold adjacent pairs (2i, 2i+1) with challenge r (LSB binding)."""
+def bound_top(Z: jnp.ndarray, r: jnp.ndarray, spec: jf.FieldSpec = FR) -> jnp.ndarray:
+    """One variable-binding round: fold halves with challenge r."""
+    return _bound_top(Z, r, spec)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _bound_bot(Z: jnp.ndarray, r: jnp.ndarray, spec: jf.FieldSpec) -> jnp.ndarray:
     lo = Z[0::2]
     hi = Z[1::2]
-    return jf.add(FR, lo, jf.mont_mul(FR, jf.sub(FR, hi, lo), r))
+    return jf.add(spec, lo, jf.mont_mul(spec, jf.sub(spec, hi, lo), r))
 
 
-@eager_jit
-def eq_evals_device(rs: Sequence[jnp.ndarray]) -> jnp.ndarray:
+def bound_bot(Z: jnp.ndarray, r: jnp.ndarray, spec: jf.FieldSpec = FR) -> jnp.ndarray:
+    """Fold adjacent pairs (2i, 2i+1) with challenge r (LSB binding)."""
+    return _bound_bot(Z, r, spec)
+
+
+@eager_jit(static_argnums=(1,))
+def eq_evals_device(rs: Sequence[jnp.ndarray], spec: jf.FieldSpec = FR) -> jnp.ndarray:
     """chi table over {0,1}^len(rs), MSB-first (device Montgomery scalars).
 
     evals[i] = prod_j (bit_{msb-j}(i) ? r_j : 1 - r_j).
     """
-    one = jnp.asarray(FR.encode(1)).reshape(1, FR.nlimbs)
+    one = jnp.asarray(spec.encode(1)).reshape(1, spec.nlimbs)
     evals = one
     for r in rs:
         rb = jnp.broadcast_to(r.reshape(1, -1), evals.shape)
-        hi = jf.mont_mul(FR, evals, rb)
-        lo = jf.sub(FR, evals, hi)
-        evals = jnp.stack([lo, hi], axis=1).reshape(-1, FR.nlimbs)
+        hi = jf.mont_mul(spec, evals, rb)
+        lo = jf.sub(spec, evals, hi)
+        evals = jnp.stack([lo, hi], axis=1).reshape(-1, spec.nlimbs)
     return evals
 
 
-def eq_evals(point: Sequence[int]) -> jnp.ndarray:
+def eq_evals(point: Sequence[int], spec: jf.FieldSpec = FR) -> jnp.ndarray:
     """chi table from host ints (canonical)."""
-    return eq_evals_device([encode_scalar(x) for x in point])
+    return eq_evals_device([encode_scalar(x, spec) for x in point], spec)
 
 
-@eager_jit
-def _dot(Z: jnp.ndarray, chis: jnp.ndarray) -> jnp.ndarray:
-    return jf.reduce_sum(FR, jf.mont_mul(FR, Z, chis))
+@eager_jit(static_argnums=(2,))
+def _dot(Z: jnp.ndarray, chis: jnp.ndarray, spec: jf.FieldSpec = FR) -> jnp.ndarray:
+    return jf.reduce_sum(spec, jf.mont_mul(spec, Z, chis))
 
 
-def evaluate(Z: jnp.ndarray, point: Sequence[int]) -> int:
+def evaluate(Z: jnp.ndarray, point: Sequence[int], spec: jf.FieldSpec = FR) -> int:
     """Z~(point) in O(n): dot(Z, chi(point)); returns a canonical host int."""
-    return decode_scalar(_dot(Z, eq_evals(point)))
+    return decode_scalar(_dot(Z, eq_evals(point, spec), spec), spec)
 
 
-def eq_evaluate(r: Sequence[int], rx: Sequence[int]) -> int:
+def eq_evaluate(r: Sequence[int], rx: Sequence[int], modulus: int = R) -> int:
     """eq(r, rx) on host ints (dense_mlpoly.rs:224-229)."""
     acc = 1
     for a, b in zip(r, rx):
-        acc = acc * (a * b + (1 - a) * (1 - b)) % R
+        acc = acc * (a * b + (1 - a) * (1 - b)) % modulus
     return acc
 
 
-def identity_evaluate(point: Sequence[int]) -> int:
+def identity_evaluate(point: Sequence[int], modulus: int = R) -> int:
     """IdentityPolynomial evaluation (dense_mlpoly.rs:276-283)."""
     ln = len(point)
-    return sum((1 << (ln - i - 1)) * point[i] for i in range(ln)) % R
+    return sum((1 << (ln - i - 1)) * point[i] for i in range(ln)) % modulus
 
 
 def factored_lens(ell: int):
     return ell // 2, ell - ell // 2
 
 
-@eager_jit
-def bound_L(Z: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
+@eager_jit(static_argnums=(2,))
+def bound_L(Z: jnp.ndarray, L: jnp.ndarray, spec: jf.FieldSpec = FR) -> jnp.ndarray:
     """Vector-matrix product: out[i] = sum_j L[j] Z[j * R_size + i]
     (dense_mlpoly.rs:379-387)."""
     L_size = L.shape[0]
     R_size = Z.shape[0] // L_size
-    Zm = Z.reshape(L_size, R_size, FR.nlimbs)
-    prods = jf.mont_mul(FR, Zm, L[:, None, :])
-    return jf.reduce_sum(FR, prods, axis=0)
+    Zm = Z.reshape(L_size, R_size, spec.nlimbs)
+    prods = jf.mont_mul(spec, Zm, L[:, None, :])
+    return jf.reduce_sum(spec, prods, axis=0)
 
 
-@eager_jit
-def merge_tables(tables: List[jnp.ndarray]) -> jnp.ndarray:
+@eager_jit(static_argnums=(1,))
+def merge_tables(tables: List[jnp.ndarray], spec: jf.FieldSpec = FR) -> jnp.ndarray:
     """Concatenate then zero-pad to a power of two (dense_mlpoly.rs:431-444)."""
     total = sum(t.shape[0] for t in tables)
     target = 1 << max(0, (total - 1).bit_length())
     parts = list(tables)
     if target > total:
-        parts.append(jnp.zeros((target - total, FR.nlimbs), jnp.uint32))
+        parts.append(jnp.zeros((target - total, spec.nlimbs), jnp.uint32))
     return jnp.concatenate(parts, axis=0)

@@ -511,10 +511,10 @@ def _scalar_mul_ladder_g2(points, scalar_canon: jnp.ndarray):
 
 
 def _packed_backend() -> bool:
-    try:
-        return jax.default_backend() != "cpu"
-    except Exception:  # pragma: no cover
-        return False
+    """Same gate as msm._use_packed (TPU backend, TESTUDO_PACKED override)."""
+    from . import msm as _msm  # lazy: msm imports this module
+
+    return _msm._use_packed()
 
 
 def _scalar_mul_batch_packed(Gp, points, scalar_canon: jnp.ndarray):

@@ -30,6 +30,7 @@ bucket partials are psum-folded before step 4 (see parallel/).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Sequence
 
@@ -284,7 +285,7 @@ def _multi_msm_device(group_name, points, scalars_canon: jnp.ndarray, c: int):
     projective points, fully on device (used by the sqrt-PST column
     commitments, sqrt_pst.rs:120-126)."""
     if _use_packed() and scalars_canon.shape[1] > _SMALL_N:
-        return _multi_msm_packed(group_name, points, scalars_canon)
+        return _multi_msm_packed(group_name, points, scalars_canon, c)
     return _multi_msm_xla(group_name, points, scalars_canon, c)
 
 
@@ -377,8 +378,18 @@ def _pad_pow2(points, scal: jnp.ndarray):
 
 
 def _use_packed() -> bool:
+    """True when the fused-Pallas packed MSM path should run.
+
+    Gated on the TPU backend specifically (the kernels are pltpu-only);
+    TESTUDO_PACKED=1 forces it on (CPU runs them in interpret mode — how
+    tests/test_pallas_curve.py exercises the production path in CI) and
+    TESTUDO_PACKED=0 forces the legacy XLA path.
+    """
+    env = os.environ.get("TESTUDO_PACKED")
+    if env is not None:
+        return env not in ("0", "false", "off")
     try:
-        return jax.default_backend() != "cpu"
+        return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
 
@@ -400,55 +411,148 @@ def _digit_counts(scal: jnp.ndarray, c: int):
     starts = jax.vmap(lambda row: jnp.searchsorted(row, rng))(sd)
     ends = jax.vmap(lambda row: jnp.searchsorted(row, rng, side="right"))(sd)
     counts = (ends - starts).at[:, 0].set(0)  # bucket 0 has weight 0
-    return order, starts, counts, jnp.max(counts)
+    return order, starts, counts
+
+
+# -- bucket splitting -------------------------------------------------------
+#
+# The bucket kernel's step count is the MAX run length over all lanes in a
+# launch, so one overloaded bucket pads every lane's loop.  Skew is
+# structural, not incidental: 253-bit scalars leave the top c=8 window
+# with only 16 distinct digit values, so its buckets carry 16x the mean
+# load (measured r3: max_run 4241 vs mean 256 at 2^16 — a 13x padded loop,
+# and the direct cause of the r2 2^20 OOM/crash: T=65536 run tensors).
+# Fix: cap the step count at T_cap and split each overloaded bucket into
+# ceil(count / T_cap) SEGMENT lanes; segment partial sums are then folded
+# back into per-bucket sums with a dense (W*B, S) gather + log2(S) fused
+# adds.  T_cap is chosen on the host to minimize T_cap * num_lanes over
+# rounded classes, so every launch shape stays in a small set.
+
+_LANE_CLASS = 1024  # segment-lane padding granularity
+
+
+def _plan_segments(starts_np: np.ndarray, counts_np: np.ndarray, T_cap: int):
+    """Host-side split of (window, bucket) runs into <= T_cap segments.
+
+    Returns (wnd, seg_start, seg_count, dense_idx, L) numpy arrays:
+    lane l sums points order[wnd[l], seg_start[l] : seg_start[l]+seg_count[l]];
+    dense_idx (W*B, S_pad) maps each flat bucket to its segment lanes
+    (pad slots point at lane L, a count-0 identity lane).
+    """
+    W, B = counts_np.shape
+    nseg = np.maximum(1, -(-counts_np.astype(np.int64) // T_cap)).reshape(-1)
+    lane_off = np.concatenate([[0], np.cumsum(nseg)])
+    L = int(lane_off[-1])
+    flat_ids = np.repeat(np.arange(W * B), nseg)
+    seg_in_bucket = (np.arange(L) - lane_off[flat_ids]).astype(np.int64)
+    wnd = (flat_ids // B).astype(np.int32)
+    b = flat_ids % B
+    seg_start = (starts_np[wnd, b] + seg_in_bucket * T_cap).astype(np.int32)
+    seg_count = np.clip(
+        counts_np[wnd, b] - seg_in_bucket * T_cap, 0, T_cap
+    ).astype(np.int32)
+    s_max = int(nseg.max())
+    s_pad = 1 << (s_max - 1).bit_length()
+    dense = np.full((W * B, s_pad), L, dtype=np.int32)
+    dense[flat_ids, seg_in_bucket] = np.arange(L, dtype=np.int32)
+    return wnd, seg_start, seg_count, dense, L
+
+
+def _pick_t_cap(counts_np: np.ndarray, W: int, B: int) -> int:
+    """Minimize bucket-phase + segment-reduce cost over rounded T classes.
+
+    Bucket phase costs T * padded_lanes lane-steps; the segment reduce
+    costs ~log2(s_pad) tree adds over W*B*s_pad gathered lanes."""
+    best, best_cost = None, None
+    mean = max(1, int(counts_np.sum()) // (W * B))
+    cands = {_round_T(mean), _round_T(2 * mean), _round_T(4 * mean),
+             _round_T(max(32, mean // 2)), _round_T(int(counts_np.max()))}
+    nseg_all = counts_np.astype(np.int64)
+    for T in sorted(cands):
+        nseg = np.maximum(1, -(-nseg_all // T))
+        lanes = -(-int(nseg.sum()) // _LANE_CLASS) * _LANE_CLASS
+        s_pad = 1 << (int(nseg.max()) - 1).bit_length()
+        cost = T * lanes + W * B * s_pad * max(1, s_pad.bit_length() - 1)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = T, cost
+    return best
+
+
+def _plan_lanes(T_cap: int, rows: int, L: int, s_pad: int):
+    """Pad lanes to the class granularity FIRST, then pick a chunk size
+    dividing the padded count (keeps the materialized (T_cap, rows, lc)
+    run tensor under ~2 GB without re-rounding L up to a huge chunk)."""
+    budget = 2 << 30
+    per_lane = T_cap * rows * 4
+    need = L + (1 if s_pad > 1 else 0)  # room for the identity pad lane
+    L_pad = -(-need // _LANE_CLASS) * _LANE_CLASS
+    lc = _LANE_CLASS
+    while (
+        lc * 2 * per_lane <= budget and lc * 2 <= L_pad and L_pad % (lc * 2) == 0
+    ):
+        lc *= 2
+    return L_pad, lc
 
 
 @partial(jax.jit, static_argnums=(0, 6, 7))
-def _msm_packed_windows(
-    group_name, ptcat, order, starts, counts, tlen, c: int, T: int
+def _msm_seg_buckets(
+    group_name, ptcat, order_flat, wnd, seg_start, seg_count, T_cap: int, lc: int
 ):
-    """ptcat (N, rows) concatenated coords -> per-window sums (rows, W).
+    """Segment-lane bucket accumulation: gather run-aligned points for each
+    segment lane and run the fused bucket kernel, in lane chunks of `lc`
+    so the materialized tensor stays under the memory budget.
 
-    Windows are processed in groups sized so the materialized run-aligned
-    tensor stays under ~2.5 GB (at 2^20 x c=8 the full tensor would be
-    ~10 GB); each group is one gather + one bucket-kernel launch."""
+    order_flat: (W*N,) flattened sorted-index table; wnd/seg_start/
+    seg_count: (L_pad,) per-lane plans.  Returns (rows, L_pad) sums."""
     from . import pallas_curve as pcu
 
     Gp = pcu.G1P if group_name == "g1" else pcu.G2P
-    W, B = starts.shape
     N = ptcat.shape[0]
-    budget = 2500 * (1 << 20)
-    wc = max(1, min(W, budget // max(1, T * B * Gp.rows * 4)))
-    while W % wc:
-        wc -= 1
+    L_pad = wnd.shape[0]
+    tlen = jnp.max(seg_count)[None].astype(jnp.int32)
 
-    def group(args):
-        starts_g, order_g, counts_g = args  # (wc, B), (wc, N), (wc, B)
-        pos = starts_g[None, :, :] + jnp.arange(T, dtype=starts.dtype)[:, None, None]
+    def chunk(args):
+        wnd_c, start_c, count_c = args  # (lc,)
+        pos = start_c[None, :] + jnp.arange(T_cap, dtype=jnp.int32)[:, None]
         pos = jnp.clip(pos, 0, N - 1)
-        runs_idx = jax.vmap(lambda p: jnp.take_along_axis(order_g, p, axis=1))(pos)
-        runs_std = ptcat[runs_idx.reshape(-1)]  # (T*wc*B, rows) row gather
-        runs = (
-            runs_std.reshape(T, wc, B, Gp.rows)
-            .transpose(0, 3, 1, 2)
-            .reshape(T, Gp.rows, wc * B)
-        )
-        return Gp.bucket_phase(runs, counts_g.reshape(wc * B), tlen)
+        idx = order_flat[(wnd_c[None, :] * N + pos).reshape(-1)]
+        entries = ptcat[idx]  # (T_cap*lc, rows) row gather
+        runs = entries.reshape(T_cap, lc, Gp.rows).transpose(0, 2, 1)
+        return Gp.bucket_phase(runs, count_c, tlen)
 
-    if wc == W:
-        buckets = group((starts, order, counts))
-    else:
-        g = W // wc
-        parts = jax.lax.map(
-            group,
-            (
-                starts.reshape(g, wc, B),
-                order.reshape(g, wc, N),
-                counts.reshape(g, wc, B),
-            ),
-        )  # (g, rows, wc*B)
-        buckets = parts.transpose(1, 0, 2).reshape(Gp.rows, W * B)
-    return _weighted_sum_packed(Gp, buckets, W, c)
+    if lc >= L_pad:
+        return chunk((wnd, seg_start, seg_count))
+    nch = L_pad // lc
+    parts = jax.lax.map(
+        chunk,
+        (
+            wnd.reshape(nch, lc),
+            seg_start.reshape(nch, lc),
+            seg_count.reshape(nch, lc),
+        ),
+    )  # (nch, rows, lc)
+    return parts.transpose(1, 0, 2).reshape(Gp.rows, L_pad)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _seg_reduce(group_name, seg_sums, dense_idx):
+    """Fold segment partial sums back into (rows, W*B) bucket sums with a
+    dense gather + log2(S_pad) fused tree adds."""
+    from . import pallas_curve as pcu
+
+    Gp = pcu.G1P if group_name == "g1" else pcu.G2P
+    WB, S = dense_idx.shape
+    if S == 1:
+        # every bucket has one segment, in flat bucket order already
+        return seg_sums[:, :WB]
+    cur = seg_sums[:, dense_idx.reshape(-1)].reshape(Gp.rows, WB, S)
+    while S > 1:
+        half = S // 2
+        a = cur[:, :, :half].reshape(Gp.rows, WB * half)
+        b = cur[:, :, half:].reshape(Gp.rows, WB * half)
+        cur = Gp.add2(a, b).reshape(Gp.rows, WB, half)
+        S = half
+    return cur.reshape(Gp.rows, WB)
 
 
 def _weighted_sum_packed(Gp, buckets, W: int, c: int):
@@ -529,13 +633,46 @@ def _msm_packed(group_name, points, scal: jnp.ndarray, c: int):
 
     Gp = pcu.G1P if group_name == "g1" else pcu.G2P
     ptcat = _cat_points(group_name, points)
-    order, starts, counts, max_run = _digit_counts(scal, c)
-    mr = int(max_run)  # host sync: static shape class for the kernel
-    T = _round_T(mr)
-    tlen = jnp.asarray([mr], jnp.int32)
-    wins = _msm_packed_windows(group_name, ptcat, order, starts, counts, tlen, c, T)
+    order, starts, counts = _digit_counts(scal, c)
+    W, B = starts.shape
+    N = ptcat.shape[0]
+
+    # host-side segment plan (counts/starts are (W, 2^c) i32 — a cheap sync)
+    starts_np = np.asarray(jax.device_get(starts))
+    counts_np = np.asarray(jax.device_get(counts))
+    T_cap = _pick_t_cap(counts_np, W, B)
+    wnd, seg_start, seg_count, dense, L = _plan_segments(
+        starts_np, counts_np, T_cap
+    )
+
+    L_pad, lc = _plan_lanes(T_cap, Gp.rows, L, dense.shape[1])
+    pad = L_pad - L
+    wnd = np.pad(wnd, (0, pad))
+    seg_start = np.pad(seg_start, (0, pad))
+    seg_count = np.pad(seg_count, (0, pad))
+
+    seg_sums = _msm_seg_buckets(
+        group_name,
+        ptcat,
+        order.reshape(-1),
+        jnp.asarray(wnd),
+        jnp.asarray(seg_start),
+        jnp.asarray(seg_count),
+        T_cap,
+        lc,
+    )
+    buckets = _seg_reduce(group_name, seg_sums, jnp.asarray(dense))
+    wins = _weighted_sum_packed_jit(group_name, buckets, W, c)
     out = _horner_ladder_packed(group_name, wins, c)
     return Gp.unpack(out)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _weighted_sum_packed_jit(group_name, buckets, W: int, c: int):
+    from . import pallas_curve as pcu
+
+    Gp = pcu.G1P if group_name == "g1" else pcu.G2P
+    return _weighted_sum_packed(Gp, buckets, W, c)
 
 
 def _msm_small_packed(group_name, points, scal: jnp.ndarray):
@@ -639,38 +776,56 @@ def _multi_msm_packed(group_name, points, scalars_canon: jnp.ndarray, c: int = 8
     from . import pallas_curve as pcu
 
     Gp = pcu.G1P if group_name == "g1" else pcu.G2P
-    K, N, nl = scalars_canon.shape
+    k_orig, N, nl = scalars_canon.shape
+    K = k_orig
     W = (16 * nl) // c
-    # chunk K so the gathered runs tensor stays under ~600 MB
+    # chunk K so the gathered runs tensor stays under ~600 MB, then grow
+    # the chunk until its lane count (kc*W) is a 128 multiple; pad K with
+    # zero-scalar columns so kc divides it (sliced back off below)
     budget = 600 * (1 << 20)
     kc = max(1, budget // (W * N * Gp.rows * 4))
     kc = min(kc, K)
-    while K % kc:
-        kc -= 1
-    # lanes per chunk must be a 128 multiple for the kernel tiles
-    while (kc * W) % 128 and kc < K:
+    while (kc * W) % 128:
         kc += 1
-    if (kc * W) % 128:
-        # pad K with zero-scalar columns instead
-        padk = (-K) % max(1, 128 // W)
+    padk = (-K) % kc
+    if padk:
         scalars_canon = jnp.pad(scalars_canon, ((0, padk), (0, 0), (0, 0)))
         K = K + padk
-        kc = max(1, 128 // W)
     ptcat = _cat_points(group_name, points)
     wins = _multi_msm_packed_impl(group_name, ptcat, scalars_canon, c, kc)
     out = _multi_horner_packed(group_name, wins, c)
     res = Gp.unpack(out)
-    if scalars_canon.shape[0] != K:
-        res = tree_map(lambda a: a[:K], res)
+    if K != k_orig:
+        res = tree_map(lambda a: a[:k_orig], res)
     return res
+
+
+def _mesh_for_batch(n: int):
+    """The ambient prover mesh, when the batch is worth sharding."""
+    from ..parallel import mesh as pmesh
+
+    mesh = pmesh.active_mesh()
+    if mesh is None:
+        return None
+    D = int(mesh.devices.size)
+    if D < 2 or n <= _SMALL_N or n < 2 * D:
+        return None
+    return mesh
 
 
 def msm_g1(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
     """MSM over G1: device projective point pytree x scalars -> host affine.
 
     `scalars` are host ints or canonical-form (non-Montgomery) Fr limbs.
+    With an ambient mesh (parallel.mesh.use_mesh) the batch shards across
+    devices (result-level DP, see parallel/mesh.py).
     """
     scal = _prep_scalars(scalars)
+    mesh = _mesh_for_batch(scal.shape[0])
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        return pmesh.sharded_msm(mesh, "g1", points, scal, c)
     if scal.shape[0] <= _SMALL_N:
         if _use_packed():
             return jc.g1_to_affine_host(_msm_small_packed("g1", points, scal))[0]
@@ -687,6 +842,11 @@ def msm_g1(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
 
 def msm_g2(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
     scal = _prep_scalars(scalars)
+    mesh = _mesh_for_batch(scal.shape[0])
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        return pmesh.sharded_msm(mesh, "g2", points, scal, c)
     if scal.shape[0] <= _SMALL_N:
         if _use_packed():
             return jc.g2_to_affine_host(_msm_small_packed("g2", points, scal))[0]

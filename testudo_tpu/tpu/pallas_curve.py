@@ -328,7 +328,12 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
 
         @jax.jit
         def bucket_call(tlen, counts8, runs):
-            _, _, L = runs.shape
+            _, _, L_in = runs.shape
+            pad = (-L_in) % tn  # pad tail lanes to a whole tile, slice back
+            if pad:
+                runs = jnp.pad(runs, ((0, 0), (0, 0), (0, pad)))
+                counts8 = jnp.pad(counts8, ((0, 0), (0, pad)))
+            L = L_in + pad
             gs = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(L // tn,),
@@ -344,12 +349,13 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
             )
-            return pl.pallas_call(
+            out = pl.pallas_call(
                 kernel,
                 grid_spec=gs,
                 out_shape=jax.ShapeDtypeStruct((rows, L), jnp.uint32),
                 interpret=interp,
             )(tlen, counts8, runs)
+            return out[:, :L_in] if pad else out
 
         return bucket_call
     else:  # pragma: no cover
@@ -361,12 +367,16 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
 
     @jax.jit
     def call(*args):
-        L = args[0].shape[1]
+        L_in = args[0].shape[1]
+        pad = (-L_in) % tn  # pad tail lanes to a whole tile, slice back
+        if pad:
+            args = tuple(jnp.pad(a, ((0, 0), (0, pad))) for a in args)
+        L = L_in + pad
         grid = L // tn
         out_shape = jax.ShapeDtypeStruct((rows, L), jnp.uint32)
         if n_out == 2:
             out_shape = (out_shape, jax.ShapeDtypeStruct((rows, L), jnp.uint32))
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=in_specs,
@@ -374,6 +384,9 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
             out_shape=out_shape,
             interpret=interp,
         )(*args)
+        if pad:
+            out = jax.tree_util.tree_map(lambda o: o[:, :L_in], out)
+        return out
 
     return call
 
@@ -487,12 +500,19 @@ class PackedGroup:
         (rows, L) per-bucket-lane sums.  One pallas_call; `tlen` (i32 (1,))
         bounds the actual step count so the padded T axis costs nothing."""
         T, _, L = runs.shape
-        call = _ec_call("bucket", *self._key(), _tile(L))
+        # DMA lane slices must be 128-aligned (Mosaic memref_slice rule),
+        # so the bucket tile is always a multiple of 128; the call wrapper
+        # pads the lane axis up to the tile and slices back.
+        tn = min(_TN, -(-L // 128) * 128)
+        call = _ec_call("bucket", *self._key(), tn)
         counts8 = jnp.broadcast_to(
             counts[None, :].astype(jnp.int32), (8, counts.shape[0])
         )
         if tlen is None:
             tlen = jnp.asarray([T], jnp.int32)
+        # clamp to >= 1: the kernel unconditionally starts the slot-0 DMA,
+        # and tlen == 0 (all-zero scalars) would leave it unawaited
+        tlen = jnp.maximum(tlen, 1)
         return call(tlen, counts8, runs)
 
     def tree_reduce(self, a: jnp.ndarray) -> jnp.ndarray:
