@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from ..poly import dense
 from ..tpu import field as jf
+from ..utils.timer import Timer
 from . import pst
 
 tree_map = jax.tree_util.tree_map
@@ -66,6 +67,7 @@ def prove(
     transcript.append_bytes(pf.ser_g1_uncompressed(U))  # mipp.rs:56
 
     m_a, m_y, m_h = a_repr, y_mont, h_repr
+    trounds = Timer("mipp::halving rounds")
     while pf.g1b.size(m_a) > 1:
         na = pf.g1b.size(m_a)
         half = na // 2
@@ -102,6 +104,7 @@ def prove(
         xs.append(c)
         xs_inv.append(c_inv)
 
+    trounds.stop()
     final_a = pf.g1b.to_affine(m_a)[0]
     final_h = pf.g2b.to_affine(m_h)[0]
 
@@ -111,7 +114,9 @@ def prove(
     # (commit_g2(table) == final_h by construction; asserted in tests)
 
     rs = [transcript.challenge_scalar(pf.R) for _ in range(m)]
+    tph = Timer("mipp::p_h open (PST G2)")
     pst_proof_h = pst.open_g2(ck, table, rs)
+    tph.stop()
 
     return MippProof(comms_t, comms_u, final_a, final_h, pst_proof_h)
 

@@ -38,6 +38,7 @@ from ..tpu.field import FR
 from . import pst, sqrt_pst, sumcheck
 from .mipp import MippProof
 from .r1cs import R1CSInstance
+from ..utils.timer import Timer
 
 
 @dataclass
@@ -82,9 +83,12 @@ def prove(
     spec = profile.fr_spec
     R = profile.R  # noqa: N806 — scalar modulus of the active curve
 
+    tm = Timer("r1csproof::prove")
+    t_c = Timer("polycommit (sqrt-PST)")
     vars_table = dense.encode_table(vars_, spec)
     pl = sqrt_pst.Polynomial.from_evaluations(vars_table, profile)
     comm_dev, t = pl.commit(gens.ck)
+    t_c.stop()
     transcript.append_bytes(profile.ser_gt(t))
 
     initial_state = transcript.challenge_scalar(R)
@@ -114,10 +118,12 @@ def prove(
     poly_tau = dense.eq_evals(tau, spec)
     poly_Az, poly_Bz, poly_Cz = inst.multiply_vec_dev(z_dev)
 
+    t_p1 = Timer("prove_sc_phase_one")
     sc1, rx, claims1 = sumcheck.prove_cubic_with_additive_term(
         0, num_rounds_x, poly_tau, poly_Az, poly_Bz, poly_Cz, transcript,
         spec,
     )
+    t_p1.stop()
     _tau_claim, Az_claim, Bz_claim, Cz_claim = claims1
     prod_Az_Bz = Az_claim * Bz_claim % R
 
@@ -143,17 +149,21 @@ def prove(
         jf.mont_mul(spec, eC, rC_d),
     )
 
+    t_p2 = Timer("prove_sc_phase_two")
     sc2, ry, _claims2 = sumcheck.prove_quad(
         claim_phase2, num_rounds_y, z_dev, evals_ABC, transcript, spec
     )
+    t_p2.stop()
 
     transcript_sat_state = transcript.challenge_scalar(R)
     transcript.new_from_state(transcript_sat_state)
 
+    t_o = Timer("polyeval (sqrt-PST open)")
     comm_U, pst_proof, mipp_proof = pl.open(
         transcript, comm_dev, gens.ck, ry[1:], t
     )
     eval_vars_at_ry = pl.eval(ry[1:])
+    t_o.stop()
 
     proof = R1CSProof(
         comm_U=comm_U,
@@ -169,6 +179,7 @@ def prove(
         t=t,
         mipp_proof=mipp_proof,
     )
+    tm.stop()
     return proof, rx, ry
 
 

@@ -33,6 +33,7 @@ from ..curves import profile as cprof
 from ..poly import dense
 from ..tpu import field as jf
 from . import mipp, pst
+from ..utils.timer import Timer
 
 tree_map = jax.tree_util.tree_map
 
@@ -80,11 +81,17 @@ class Polynomial:
         level = ck.nv - self.m_row
         basis = ck.powers_of_g[level]
         cols = jnp.swapaxes(self.matrix, 0, 1)  # (2^m_col, 2^m_row, nlimbs)
+        tmsm = Timer("sqrt_pst::commit multi-MSM")
         comm_repr = _multi_msm_g1(pf, basis, cols)
+        if not isinstance(comm_repr, list):
+            jax.block_until_ready(jax.tree_util.tree_leaves(comm_repr))
+        tmsm.stop()
         h_vec = ck.powers_of_h[level + self.odd]
+        tpair = Timer("sqrt_pst::commit multi-pairing T")
         t = pf.multi_pairing(
             pf.g1b.to_affine(comm_repr), pf.g2b.to_affine(h_vec)
         )
+        tpair.stop()
         return comm_repr, t
 
     def _get_q(self, point: List[int]) -> None:
@@ -119,16 +126,22 @@ class Polynomial:
             self._get_q(point)
 
         # U = MSM(com_i, chi_i(b)) — the PST commitment of q
+        tu = Timer("sqrt_pst::open U-fold MSM")
         U = pst._msm_table(pf, pf.g1b, comm_repr, self.chis_b)
+        tu.stop()
 
         level = ck.nv - self.m_row
         h_vec = ck.powers_of_h[level + self.odd]
+        tmipp = Timer("sqrt_pst::open MIPP prove")
         mipp_proof = mipp.prove(
             transcript, ck, comm_repr, self.chis_b, h_vec, U, t
         )
+        tmipp.stop()
         # No a-reversal: our PST binds MSB-first natively (cf.
         # sqrt_pst.rs:221-225 where the reference must reverse for ark).
+        tpst = Timer("sqrt_pst::open PST open q")
         pst_proof = pst.open_(ck, self.q, a)
+        tpst.stop()
         return U, pst_proof, mipp_proof
 
 
