@@ -34,6 +34,11 @@ from testudo_tpu.tpu.field import FR
 pytestmark = pytest.mark.slow  # compile-heavy: CI slow tier
 
 RNG = np.random.default_rng(11)
+_PRNG = __import__("random").Random(11)
+
+
+def _rand_fr() -> int:
+    return _PRNG.randrange(R)
 
 
 def _rand_g1(n):
@@ -238,7 +243,7 @@ def test_msm_g1_packed_dispatch_vs_host():
     assert msm._use_packed()  # env forced
     n = 96  # > _SMALL_N: exercises the full packed Pippenger
     pts_h = _rand_g1(n)
-    scalars = [int(RNG.integers(0, R)) for _ in range(n)]
+    scalars = [_rand_fr() for _ in range(n)]
     got = msm.msm_g1(jc.g1_from_affine_host(pts_h), scalars, c=4)
     assert got == hc.g1_msm(pts_h, scalars)
 
@@ -270,7 +275,7 @@ def test_multi_msm_packed_vs_host():
 def test_packed_vs_xla_msm_equality():
     n = 80
     pts_h = _rand_g1(n)
-    scalars = [int(RNG.integers(0, R)) for _ in range(n)]
+    scalars = [_rand_fr() for _ in range(n)]
     dev = jc.g1_from_affine_host(pts_h)
     scal = _scal_limbs(scalars)
     packed = jc.g1_to_affine_host(msm._msm_packed("g1", dev, scal, 4))[0]
@@ -282,7 +287,7 @@ def test_packed_vs_xla_msm_equality():
 def test_scalar_mul_batch_packed():
     n = 5
     pts_h = _rand_g1(n)
-    k = int(RNG.integers(1, R))
+    k = _PRNG.randrange(1, R)
     got = jc.scalar_mul_batch_g1(jc.g1_from_affine_host(pts_h),
                                  jnp.asarray(FR.to_limbs([k])[0]))
     out = jc.g1_to_affine_host(got)

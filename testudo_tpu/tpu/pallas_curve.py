@@ -502,8 +502,12 @@ class PackedGroup:
         T, _, L = runs.shape
         # DMA lane slices must be 128-aligned (Mosaic memref_slice rule),
         # so the bucket tile is always a multiple of 128; the call wrapper
-        # pads the lane axis up to the tile and slices back.
-        tn = min(_TN, -(-L // 128) * 128)
+        # pads the lane axis up to the tile and slices back.  G2's 144
+        # limb rows double the per-tile VMEM footprint (accumulators +
+        # double-buffered DMA scratch + output block), which blows the
+        # 16 MB scoped-vmem limit at tile 1024 — halve the tile for it.
+        tn_max = _TN if self.ncomp == 1 else _TN // 2
+        tn = min(tn_max, -(-L // 128) * 128)
         call = _ec_call("bucket", *self._key(), tn)
         counts8 = jnp.broadcast_to(
             counts[None, :].astype(jnp.int32), (8, counts.shape[0])
