@@ -58,7 +58,12 @@ class PolyCommitment:
 def commit(
     table: jnp.ndarray, gens: PolyCommitmentGens, random_blinds: bool = False
 ):
-    """dense_mlpoly.rs:349-377.  Returns (PolyCommitment, blinds)."""
+    """dense_mlpoly.rs:349-377.  Returns (PolyCommitment, blinds).
+
+    All rows share the Pedersen basis, so the row commitments run as ONE
+    batched shared-basis multi-MSM (the reference commits rows with a
+    rayon par_iter, dense_mlpoly.rs:355-361); blind terms (hiding mode
+    only) are folded in on the host afterwards."""
     n = table.shape[0]
     ell = n.bit_length() - 1
     left, right = dense.factored_lens(ell)
@@ -66,9 +71,16 @@ def commit(
     blinds = [secrets.randbelow(R) if random_blinds else 0 for _ in range(L_size)]
     rows = table.reshape(L_size, R_size, FR.nlimbs)
     canon = pst_mod._to_canon_scalars(rows)
-    C = []
-    for i in range(L_size):
-        C.append(com.commit_slice_dev(canon[i], blinds[i], gens.gens.gens_n))
+    gens_n = gens.gens.gens_n
+    cols = msm._multi_msm_device(
+        "g1", gens_n.dev(), canon, msm._pick_window(R_size)
+    )
+    C = jc.g1_to_affine_host(cols)
+    if random_blinds:
+        C = [
+            hc.g1_add(c, hc.g1_mul(gens_n.h, b % R))
+            for c, b in zip(C, blinds)
+        ]
     return PolyCommitment(C), blinds
 
 
