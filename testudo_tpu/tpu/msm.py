@@ -793,7 +793,21 @@ def _multi_msm_packed(group_name, points, scalars_canon: jnp.ndarray, c: int = 8
         K = K + padk
     ptcat = _cat_points(group_name, points)
     wins = _multi_msm_packed_impl(group_name, ptcat, scalars_canon, c, kc)
-    out = _multi_horner_packed(group_name, wins, c)
+    # Horner-combine in K-chunks: one giant ladder (K*W lanes, 131k at
+    # Spark 2^20 sizes) faulted the TPU worker; 512-column chunks keep
+    # every launch in well-tested lane ranges.
+    KH = 512
+    if K > KH:
+        parts = []
+        for off in range(0, K, KH):
+            parts.append(
+                _multi_horner_packed(
+                    group_name, wins[:, off : off + KH], c
+                )
+            )
+        out = jnp.concatenate(parts, axis=1)
+    else:
+        out = _multi_horner_packed(group_name, wins, c)
     res = Gp.unpack(out)
     if K != k_orig:
         res = tree_map(lambda a: a[:k_orig], res)
