@@ -794,9 +794,10 @@ def _multi_msm_packed(group_name, points, scalars_canon: jnp.ndarray, c: int = 8
     ptcat = _cat_points(group_name, points)
     wins = _multi_msm_packed_impl(group_name, ptcat, scalars_canon, c, kc)
     # Horner-combine in K-chunks: one giant ladder (K*W lanes, 131k at
-    # Spark 2^20 sizes) faulted the TPU worker; 512-column chunks keep
-    # every launch in well-tested lane ranges.
-    KH = 512
+    # Spark 2^20 sizes) faulted the TPU worker — and so did 16k-lane
+    # chunks; 256 columns = 8192 lanes is the configuration every other
+    # ladder launch runs at and is hardware-validated.
+    KH = 256
     if K > KH:
         parts = []
         for off in range(0, K, KH):
