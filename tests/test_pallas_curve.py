@@ -272,6 +272,24 @@ def test_multi_msm_packed_vs_host():
         assert got_aff[i] == hc.g1_msm(pts_h, scal[i])
 
 
+def test_multi_msm_packed_chunked_table(monkeypatch):
+    # N > _TAB_NC routes the fixed-base table build through the chunked
+    # scan (the Spark-scale configuration that faulted the TPU worker when
+    # the in-scan add2 ran with grid > 1); patch the chunk width down so
+    # the path runs at CPU-interpretable sizes.
+    monkeypatch.setattr(msm, "_TAB_NC", 8)
+    K, N = 2, 16
+    pts_h = _rand_g1(N)
+    scal = RNG.integers(0, 1 << 62, size=(K, N)).tolist()
+    dev = jc.g1_from_affine_host(pts_h)
+    canon = jnp.stack([_scal_limbs(row) for row in scal], axis=0)
+    got = msm._multi_msm_packed("g1", dev, canon)
+    for i in range(K):
+        aff = jc.g1_to_affine_host(
+            jax.tree_util.tree_map(lambda a, i=i: a[i : i + 1], got))[0]
+        assert aff == hc.g1_msm(pts_h, scal[i])
+
+
 def test_packed_vs_xla_msm_equality():
     n = 80
     pts_h = _rand_g1(n)

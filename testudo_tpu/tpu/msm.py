@@ -695,6 +695,10 @@ def _msm_small_packed(group_name, points, scal: jnp.ndarray):
 # of gathered table rows — work-optimal W*N adds per column, no sort, no
 # padding, digit-0 lanes land on the stored identity row.
 
+# Lane-chunk width for the fixed-base table scan (patched down in tests so
+# the chunked path runs at CPU-interpretable sizes).
+_TAB_NC = 1024
+
 
 @partial(jax.jit, static_argnums=(0, 3, 4))
 def _multi_msm_packed_impl(group_name, ptcat, scal: jnp.ndarray, c: int, kc: int):
@@ -705,15 +709,31 @@ def _multi_msm_packed_impl(group_name, ptcat, scal: jnp.ndarray, c: int, kc: int
     B = 1 << c
     W = (16 * nl) // c
 
-    # table[j*B + d] = d * G_j (standard row layout, identity at d = 0)
+    # table[j*B + d] = d * G_j (standard row layout, identity at d = 0).
+    # The in-scan add2 must stay at ONE grid step: a grid-2 fused kernel
+    # inside a lax.scan body (first reached at Spark scale, N = 2048)
+    # faulted the TPU worker, so the scan is chunked over <=1024-lane
+    # column blocks (every other validated in-loop launch is grid=1).
     base = ptcat.T  # (rows, N) packed
-    ident = Gp.identity_packed(N)
 
-    def tab_step(prev, _):
-        nxt = Gp.add2(prev, base)
-        return nxt, prev
+    def tab_build(base_c):
+        identc = Gp.identity_packed(base_c.shape[1])
 
-    _, tab = jax.lax.scan(tab_step, ident, None, length=B)
+        def tab_step(prev, _):
+            nxt = Gp.add2(prev, base_c)
+            return nxt, prev
+
+        _, tabc = jax.lax.scan(tab_step, identc, None, length=B)
+        return tabc  # (B, rows, Nc)
+
+    NC = _TAB_NC
+    if N > NC:
+        tab = jnp.concatenate(
+            [tab_build(base[:, off : off + NC]) for off in range(0, N, NC)],
+            axis=2,
+        )
+    else:
+        tab = tab_build(base)
     # tab: (B, rows, N) with tab[d] = d * G; -> (N*B, rows) standard rows
     table_std = tab.transpose(2, 0, 1).reshape(N * B, Gp.rows)
 
