@@ -102,11 +102,15 @@ def test_testudo_snark_end_to_end():
     tv = PoseidonTranscript(fr_params())
     assert snark.snark_verify(proof, gens, comm, inputs, tv)
 
-    # proof sizes serialize
+    # wire-format round trip: serialize -> parse -> re-serialize -> verify
     from testudo_tpu import proofs
 
     blob = proofs.ser_testudo_snark(proof)
     assert len(blob) > 0
+    parsed = proofs.parse_testudo_snark(blob)
+    assert proofs.ser_testudo_snark(parsed) == blob
+    tv3 = PoseidonTranscript(fr_params())
+    assert snark.snark_verify(parsed, gens, comm, inputs, tv3)
 
 
 def test_padded_constraints_byte_api():

@@ -114,3 +114,166 @@ def vec_to_bytes(items, ser_fn) -> bytes:
     for it in items:
         out += ser_fn(it)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Deserialization (CanonicalDeserialize equivalents)
+#
+# The reference derives CanonicalDeserialize on every proof struct
+# (r1csproof.rs:32, mipp.rs:21, sparse_mlpoly.rs:1441); these readers are
+# the byte-exact inverses of the writers above, including compressed-point
+# decompression (sqrt + the SWFlags sign bit).
+# ---------------------------------------------------------------------------
+
+
+class DeserializeError(ValueError):
+    pass
+
+
+class Reader:
+    """Byte cursor over a proof blob; every read_* consumes exactly the
+    bytes its writer produced."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise DeserializeError(
+                f"truncated input: need {n} bytes at {self.pos}, "
+                f"have {len(self.buf) - self.pos}"
+            )
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def finish(self):
+        if self.pos != len(self.buf):
+            raise DeserializeError(
+                f"{len(self.buf) - self.pos} trailing bytes after proof"
+            )
+
+
+def read_u64(r: Reader) -> int:
+    return int.from_bytes(r.take(8), "little")
+
+
+def read_fr(r: Reader) -> int:
+    v = int.from_bytes(r.take(FR_BYTES), "little")
+    if v >= R:
+        raise DeserializeError("non-canonical Fr element")
+    return v
+
+
+def read_fq(r: Reader) -> int:
+    v = int.from_bytes(r.take(FQ_BYTES), "little")
+    if v >= P:
+        raise DeserializeError("non-canonical Fq element")
+    return v
+
+
+def read_fq2(r: Reader) -> Fq2:
+    c0 = read_fq(r)
+    return Fq2(c0, read_fq(r))
+
+
+def read_fq6(r: Reader) -> Fq6:
+    c0 = read_fq2(r)
+    c1 = read_fq2(r)
+    return Fq6(c0, c1, read_fq2(r))
+
+
+def read_fq12(r: Reader) -> Fq12:
+    c0 = read_fq6(r)
+    return Fq12(c0, read_fq6(r))
+
+
+def read_g1(r: Reader, compress: bool):
+    """Inverse of g1_to_bytes; compressed decompression solves
+    y^2 = x^3 + 1 and picks the root matching the sign flag."""
+    if not compress:
+        raw = bytearray(r.take(2 * FQ_BYTES))
+        flags = raw[-1] & 0xC0
+        raw[-1] &= 0x3F
+        x = int.from_bytes(raw[:FQ_BYTES], "little")
+        y = int.from_bytes(raw[FQ_BYTES:], "little")
+        if flags & FLAG_INFINITY:
+            if x or y:
+                raise DeserializeError("nonzero infinity encoding")
+            return None
+        pt = (x, y)
+    else:
+        raw = bytearray(r.take(FQ_BYTES))
+        flags = raw[-1] & 0xC0
+        raw[-1] &= 0x3F
+        x = int.from_bytes(raw, "little")
+        if flags & FLAG_INFINITY:
+            if x:
+                raise DeserializeError("nonzero infinity encoding")
+            return None
+        if x >= P:
+            raise DeserializeError("x >= p in compressed point")
+        from .fields.host import fq_sqrt
+
+        y = fq_sqrt((x * x % P * x + 1) % P)
+        if y is None:
+            raise DeserializeError("x not on curve")
+        if _is_neg_fq(y) != bool(flags & FLAG_Y_NEG):
+            y = P - y
+        pt = (x, y)
+    from .curves import host_curve as hc
+
+    if not hc.g1_is_on_curve(pt):
+        raise DeserializeError("G1 point not on curve")
+    return pt
+
+
+def read_g2(r: Reader, compress: bool):
+    if not compress:
+        x = read_fq2(r)
+        raw = bytearray(r.take(2 * FQ_BYTES))
+        flags = raw[-1] & 0xC0
+        raw[-1] &= 0x3F
+        y = Fq2(
+            int.from_bytes(raw[:FQ_BYTES], "little"),
+            int.from_bytes(raw[FQ_BYTES:], "little"),
+        )
+        if flags & FLAG_INFINITY:
+            if not (x.is_zero() and y.is_zero()):
+                raise DeserializeError("nonzero infinity encoding")
+            return None
+        pt = (x, y)
+    else:
+        c0 = read_fq(r)
+        raw = bytearray(r.take(FQ_BYTES))
+        flags = raw[-1] & 0xC0
+        raw[-1] &= 0x3F
+        x = Fq2(c0, int.from_bytes(raw, "little"))
+        if flags & FLAG_INFINITY:
+            if not x.is_zero():
+                raise DeserializeError("nonzero infinity encoding")
+            return None
+        from .curves.host_curve import B2
+
+        y2 = x.square() * x + B2
+        y = y2.sqrt()
+        if y is None:
+            raise DeserializeError("x not on twist curve")
+        if _is_neg_fq2(y) != bool(flags & FLAG_Y_NEG):
+            y = -y
+        pt = (x, y)
+    from .curves import host_curve as hc
+
+    if not hc.g2_is_on_curve(pt):
+        raise DeserializeError("G2 point not on curve")
+    return pt
+
+
+def read_vec(r: Reader, de_fn):
+    n = read_u64(r)
+    if n > len(r.buf) - r.pos:  # each element is >= 1 byte
+        raise DeserializeError(f"vec length {n} exceeds remaining input")
+    return [de_fn(r) for _ in range(n)]
