@@ -50,3 +50,5 @@ for i in (0, K - 1):
         jax.tree_util.tree_map(lambda a, i=i: a[i : i + 1], out))[0]
     exp = hc.g1_msm(pts_h, [int(v) for v in vals[i]])
     print(f"row {i} ok: {aff == exp}", flush=True)
+    assert aff == exp, f"multi-MSM row {i} mismatch vs host reference"
+print("smoke OK", flush=True)
