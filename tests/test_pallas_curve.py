@@ -302,6 +302,51 @@ def test_packed_vs_xla_msm_equality():
     assert packed == xla == hc.g1_msm(pts_h, scalars)
 
 
+def test_signed_digits_reconstruct():
+    """Signed c-bit window decomposition sums back to the scalar, with
+    magnitudes bounded by 2^(c-1) (incl. the production c=13)."""
+    from testudo_tpu.fields.bls12_377 import R
+
+    scalars = [0, 1, R - 1, _rand_fr(), _rand_fr(), (1 << 253) - 1]
+    for c in (4, 13):
+        limbs = _scal_limbs([s % R for s in scalars])
+        digs = np.asarray(msm._signed_digits(limbs, c))  # (W, N)
+        half = 1 << (c - 1)
+        assert int(np.abs(digs).max()) <= half
+        for j, s in enumerate(scalars):
+            val = sum(int(digs[w, j]) << (c * w) for w in range(digs.shape[0]))
+            assert val == s % R, f"c={c} scalar {j}"
+
+
+def test_msm_packed_signed_vs_host(monkeypatch):
+    """Signed-window packed Pippenger (c=None default path) vs host MSM;
+    c patched to 4 so interpret mode stays tractable — the signed
+    machinery (neg-y table, magnitude buckets, +1 weights) is identical
+    at any c."""
+    monkeypatch.setenv("TESTUDO_MSM_C", "4")
+    n = 96
+    pts_h = _rand_g1(n)
+    scalars = [_rand_fr() for _ in range(n)]
+    dev = jc.g1_from_affine_host(pts_h)
+    scal = _scal_limbs(scalars)
+    got = jc.g1_to_affine_host(msm._msm_packed("g1", dev, scal, None))[0]
+    assert got == hc.g1_msm(pts_h, scalars)
+
+
+def test_msm_packed_signed_edge_scalars(monkeypatch):
+    monkeypatch.setenv("TESTUDO_MSM_C", "4")
+    from testudo_tpu.fields.bls12_377 import R
+
+    n = 72
+    pts_h = _rand_g1(n)
+    scalars = [0, 1, R - 1, 2] + [_rand_fr() for _ in range(n - 4)]
+    dev = jc.g1_from_affine_host(pts_h)
+    got = jc.g1_to_affine_host(
+        msm._msm_packed("g1", dev, _scal_limbs(scalars), None)
+    )[0]
+    assert got == hc.g1_msm(pts_h, scalars)
+
+
 def test_scalar_mul_batch_packed():
     n = 5
     pts_h = _rand_g1(n)
