@@ -58,14 +58,16 @@ def main():
     counts_np = np.asarray(jax.device_get(counts))
     T_cap = msm._pick_t_cap(counts_np, W, B)
     t0 = time.time()
-    wnd, seg_start, seg_count, dense, L = msm._plan_segments(
+    wnd, seg_start, seg_count, lane_off, nseg, L = msm._plan_segments(
         starts_np, counts_np, T_cap
     )
+    s_max = max(1, int(nseg.max()) if nseg.size else 1)
+    S_cap = 1 << (s_max - 1).bit_length()
     log(
-        f"plan: T_cap={T_cap} L={L} S_pad={dense.shape[1]} "
+        f"plan: T_cap={T_cap} L={L} S_cap={S_cap} "
         f"(host plan {1000*(time.time()-t0):.1f} ms)"
     )
-    L_pad, lc = msm._plan_lanes(T_cap, Gp.rows, L, dense.shape[1])
+    L_pad, lc = msm._plan_lanes(T_cap, Gp.rows, L, S_cap)
     pad = L_pad - L
     wnd = np.pad(wnd, (0, pad))
     seg_start = np.pad(seg_start, (0, pad))
@@ -79,8 +81,10 @@ def main():
         ptcat, order.reshape(-1), jnp.asarray(wnd), jnp.asarray(seg_start),
         jnp.asarray(seg_count), T_cap, lc,
     )
-    buckets = t("seg_reduce", partial(msm._seg_reduce, "g1"),
-                seg_sums, jnp.asarray(dense))
+    buckets = t(
+        "seg_reduce", partial(msm._seg_reduce, "g1"),
+        seg_sums, (jnp.asarray(lane_off), jnp.asarray(nseg)), S_cap,
+    )
     wins = t("weighted_sum", partial(msm._weighted_sum_packed_jit, "g1"),
              buckets, W, c)
     out = t("horner_ladder", partial(msm._horner_ladder_packed, "g1"), wins, c)

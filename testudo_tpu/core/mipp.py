@@ -40,6 +40,14 @@ from . import pst
 tree_map = jax.tree_util.tree_map
 
 
+def _dev_backend(pf) -> bool:
+    """True when the profile's G1 backend is the BLS12-377 device backend
+    (the fused segmented ladder only exists there)."""
+    from ..curves import profile as cprof
+
+    return not isinstance(pf.g1b, cprof.HostGroupBackend)
+
+
 @dataclass
 class MippProof:
     comms_t: List[Tuple[object, object]]  # pairs of GT elements
@@ -68,41 +76,65 @@ def prove(
 
     m_a, m_y, m_h = a_repr, y_mont, h_repr
     trounds = Timer("mipp::halving rounds")
-    while pf.g1b.size(m_a) > 1:
-        na = pf.g1b.size(m_a)
-        half = na // 2
-        a_l = pf.g1b.slice(m_a, 0, half)
-        a_r = pf.g1b.slice(m_a, half, na)
-        y_l, y_r = m_y[:half], m_y[half:]
-        h_l = pf.g2b.slice(m_h, 0, half)
-        h_r = pf.g2b.slice(m_h, half, na)
+    # The reference fork-joins the (u_l, u_r) / (t_l, t_r) cross-terms
+    # (mipp.rs:77-94 par!/try_par!).  Here the two pairing products run in
+    # worker threads (the native multi-pairing releases the GIL) while the
+    # main thread drives the two device MSMs — same fork-join shape.
+    from concurrent.futures import ThreadPoolExecutor
 
-        comm_u_l = pst._msm_table(pf, pf.g1b, a_l, y_r)
-        comm_u_r = pst._msm_table(pf, pf.g1b, a_r, y_l)
-        comm_t_l = pf.multi_pairing(
-            pf.g1b.to_affine(a_l), pf.g2b.to_affine(h_r)
-        )
-        comm_t_r = pf.multi_pairing(
-            pf.g1b.to_affine(a_r), pf.g2b.to_affine(h_l)
-        )
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        while pf.g1b.size(m_a) > 1:
+            na = pf.g1b.size(m_a)
+            half = na // 2
+            a_l = pf.g1b.slice(m_a, 0, half)
+            a_r = pf.g1b.slice(m_a, half, na)
+            y_l, y_r = m_y[:half], m_y[half:]
+            h_l = pf.g2b.slice(m_h, 0, half)
+            h_r = pf.g2b.slice(m_h, half, na)
 
-        transcript.append_bytes(pf.ser_g1_uncompressed(comm_u_l))
-        transcript.append_bytes(pf.ser_g1_uncompressed(comm_u_r))
-        transcript.append_bytes(pf.ser_gt(comm_t_l))
-        transcript.append_bytes(pf.ser_gt(comm_t_r))
-        c_inv = transcript.challenge_scalar(pf.R)
-        c = pow(c_inv, -1, pf.R)
+            a_l_aff = pf.g1b.to_affine(a_l)
+            a_r_aff = pf.g1b.to_affine(a_r)
+            h_l_aff = pf.g2b.to_affine(h_l)
+            h_r_aff = pf.g2b.to_affine(h_r)
+            fut_t_l = pool.submit(pf.multi_pairing, a_l_aff, h_r_aff)
+            fut_t_r = pool.submit(pf.multi_pairing, a_r_aff, h_l_aff)
+            if _dev_backend(pf):
+                # one fused ladder computes BOTH cross-MSMs: u_l = (a_l,
+                # y_r), u_r = (a_r, y_l) share the full a vector with the
+                # y halves swapped (mipp.rs:77-85)
+                from ..tpu import msm as jmsm
 
-        m_a = pf.g1b.fold(a_l, a_r, c)
-        m_y = jf.add(
-            spec, y_l, jf.mont_mul(spec, y_r, jnp.asarray(spec.encode(c_inv)))
-        )
-        m_h = pf.g2b.fold(h_l, h_r, c_inv)
+                y_swapped = jnp.concatenate([y_r, y_l], axis=0)
+                comm_u_l, comm_u_r = jmsm.msm_segmented(
+                    "g1", m_a, pst._to_canon_scalars(y_swapped, spec), 2
+                )
+            else:
+                comm_u_l = pst._msm_table(pf, pf.g1b, a_l, y_r)
+                comm_u_r = pst._msm_table(pf, pf.g1b, a_r, y_l)
+            comm_t_l = fut_t_l.result()
+            comm_t_r = fut_t_r.result()
 
-        comms_t.append((comm_t_l, comm_t_r))
-        comms_u.append((comm_u_l, comm_u_r))
-        xs.append(c)
-        xs_inv.append(c_inv)
+            transcript.append_bytes(pf.ser_g1_uncompressed(comm_u_l))
+            transcript.append_bytes(pf.ser_g1_uncompressed(comm_u_r))
+            transcript.append_bytes(pf.ser_gt(comm_t_l))
+            transcript.append_bytes(pf.ser_gt(comm_t_r))
+            c_inv = transcript.challenge_scalar(pf.R)
+            c = pow(c_inv, -1, pf.R)
+
+            m_a = pf.g1b.fold(a_l, a_r, c)
+            m_y = jf.add(
+                spec, y_l,
+                jf.mont_mul(spec, y_r, jnp.asarray(spec.encode(c_inv))),
+            )
+            m_h = pf.g2b.fold(h_l, h_r, c_inv)
+
+            comms_t.append((comm_t_l, comm_t_r))
+            comms_u.append((comm_u_l, comm_u_r))
+            xs.append(c)
+            xs_inv.append(c_inv)
+    finally:
+        pool.shutdown(wait=True)
 
     trounds.stop()
     final_a = pf.g1b.to_affine(m_a)[0]

@@ -117,6 +117,9 @@ def ark_setup_draws(nv: int) -> Tuple[Tuple, Tuple, List[int]]:
     return g, h, list(reversed(ts))
 
 
+_SETUP_CACHE: dict = {}
+
+
 def setup(
     nv: int,
     seed: Optional[bytes] = None,
@@ -127,8 +130,17 @@ def setup(
     Default (seed=None, BLS12-377): the reference's derivation — ark
     test_rng draws (dense_mlpoly.rs:193-195), so the SRS group elements
     match the Rust snapshot's.  With an explicit seed (or any other
-    curve): a Shake256-derived stream over the fixed generators."""
+    curve): a Shake256-derived stream over the fixed generators.
+
+    Results are memoized per (nv, seed, profile): the derivation is
+    deterministic and keys are read-only, so repeated setups (every test
+    in the slow tier re-creates gens) reuse the first derivation and its
+    compiled fixed-base modules."""
     profile = profile or _default_profile()
+    ck_key = (nv, seed, id(profile))
+    hit = _SETUP_CACHE.get(ck_key)
+    if hit is not None:
+        return hit
     spec = profile.fr_spec
     if seed is None and profile.name == "bls12_377":
         g, h, ts = ark_setup_draws(nv)
@@ -158,6 +170,7 @@ def setup(
     h_mask = [profile.g2_mul(h, t) for t in ts]
     ck = CommitterKey(nv, powers_of_g, powers_of_h, g, h, profile)
     vk = VerifierKey(nv, g, h, g_mask, h_mask, profile)
+    _SETUP_CACHE[ck_key] = (ck, vk)
     return ck, vk
 
 
@@ -197,24 +210,41 @@ def commit(ck: CommitterKey, evals_mont: jnp.ndarray):
     return _msm_table(ck.profile, ck.profile.g1b, ck.powers_of_g[level], evals_mont)
 
 
-def open_(ck: CommitterKey, evals_mont: jnp.ndarray, point: List[int]) -> List:
-    """Open at `point` (MSB-first, Spartan order).  Returns [pi_i] G1 affine."""
+def _open_quotient_msms(ck: CommitterKey, evals_mont, point, powers, backend):
+    """Shared PST opening skeleton: per-variable quotient tables (all
+    device ops, no sync), then the nv proof MSMs — fused into ONE ladder
+    dispatch on the device backend (each previously paid its own device
+    round trip; sizes halve so the whole batch is a few tiles)."""
     spec = ck.profile.fr_spec
     n = evals_mont.shape[0]
     nv = n.bit_length() - 1
     assert len(point) == nv
     level = ck.nv - nv
     r = evals_mont
-    proofs = []
+    pairs = []
     for i in range(nv):
         half = r.shape[0] // 2
         q = jf.sub(spec, r[half:], r[:half])
         rdev = dense.encode_scalar(point[i], spec)
         r = dense.bound_top(r, rdev, spec)
-        proofs.append(
-            _msm_table(ck.profile, ck.profile.g1b, ck.powers_of_g[level + i + 1], q)
-        )
-    return proofs
+        pairs.append((powers[level + i + 1], q))
+    if isinstance(backend, cprof.HostGroupBackend):
+        return [
+            _msm_table(ck.profile, backend, base, q) for base, q in pairs
+        ]
+    from ..tpu import msm as jmsm
+
+    parts = [
+        (base, _to_canon_scalars(q, spec)) for base, q in pairs
+    ]
+    return jmsm.msm_multi_small(backend.group, parts)
+
+
+def open_(ck: CommitterKey, evals_mont: jnp.ndarray, point: List[int]) -> List:
+    """Open at `point` (MSB-first, Spartan order).  Returns [pi_i] G1 affine."""
+    return _open_quotient_msms(
+        ck, evals_mont, point, ck.powers_of_g, ck.profile.g1b
+    )
 
 
 def check(
@@ -255,21 +285,9 @@ def commit_g2(ck: CommitterKey, evals_mont: jnp.ndarray):
 
 def open_g2(ck: CommitterKey, evals_mont: jnp.ndarray, point: List[int]) -> List:
     """Open a G2-side commitment: proofs live in G2."""
-    spec = ck.profile.fr_spec
-    n = evals_mont.shape[0]
-    nv = n.bit_length() - 1
-    level = ck.nv - nv
-    r = evals_mont
-    proofs = []
-    for i in range(nv):
-        half = r.shape[0] // 2
-        q = jf.sub(spec, r[half:], r[:half])
-        rdev = dense.encode_scalar(point[i], spec)
-        r = dense.bound_top(r, rdev, spec)
-        proofs.append(
-            _msm_table(ck.profile, ck.profile.g2b, ck.powers_of_h[level + i + 1], q)
-        )
-    return proofs
+    return _open_quotient_msms(
+        ck, evals_mont, point, ck.powers_of_h, ck.profile.g2b
+    )
 
 
 def check_g2(

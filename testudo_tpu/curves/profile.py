@@ -196,6 +196,27 @@ class _Dev377Backend(GroupBackend):
         return fn(canon, base_affine)
 
 
+def _multi_pairing_377(g1s, g2s):
+    """Native threaded multi-pairing when the C++ library is available
+    (MIPP's per-round t_l/t_r products, mipp.rs:87-94, are the open
+    path's host hot spot); pure-Python fallback otherwise."""
+    from .. import native
+    from ..curves import pairing as pr
+
+    if native.available():
+        return native.multi_pairing(g1s, g2s)
+    return pr.multi_pairing(g1s, g2s)
+
+
+def _gt_pow_377(f, e):
+    from .. import native
+    from ..curves import pairing as pr
+
+    if native.available():
+        return native.gt_pow(f, e)
+    return pr.gt_pow(f, e)
+
+
 @lru_cache(maxsize=None)
 def bls12_377() -> CurveProfile:
     from ..fields.bls12_377 import P as P377, R as R377
@@ -221,9 +242,9 @@ def bls12_377() -> CurveProfile:
         g2_mul=hc.g2_mul,
         g2_generator=hc.g2_generator,
         pairing=pr.pairing,
-        multi_pairing=pr.multi_pairing,
+        multi_pairing=_multi_pairing_377,
         fq12_one=Fq12.one,
-        gt_pow=pr.gt_pow,
+        gt_pow=_gt_pow_377,
         ser_g1_uncompressed=lambda pt: ser.g1_to_bytes(pt, compress=False),
         ser_g2_uncompressed=lambda pt: ser.g2_to_bytes(pt, compress=False),
         ser_gt=ser.fq12_to_bytes,

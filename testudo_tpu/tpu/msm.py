@@ -41,7 +41,7 @@ import numpy as np
 from ..fields.bls12_377 import R
 from . import cache as _cache  # noqa: F401  (enables persistent compile cache)
 from . import curve as jc
-from .field import FR
+from .field import FR, MASK
 
 tree_map = jax.tree_util.tree_map
 
@@ -396,9 +396,11 @@ def _use_packed() -> bool:
 
 def _round_T(t: int) -> int:
     """Round the max bucket run length up (pow2 below 512, then multiples
-    of 512) to bound the set of bucket-kernel executables."""
+    of 512) to bound the set of bucket-kernel executables.  The floor is
+    16: signed windows at mid sizes have mean runs ~16-32, and a 32 floor
+    would force 2x step padding on every lane."""
     if t <= 512:
-        return max(32, 1 << (t - 1).bit_length())
+        return max(16, 1 << max(0, (t - 1).bit_length()))
     return -(-t // 512) * 512
 
 
@@ -412,6 +414,93 @@ def _digit_counts(scal: jnp.ndarray, c: int):
     ends = jax.vmap(lambda row: jnp.searchsorted(row, rng, side="right"))(sd)
     counts = (ends - starts).at[:, 0].set(0)  # bucket 0 has weight 0
     return order, starts, counts
+
+
+# -- signed digits ----------------------------------------------------------
+#
+# Signed c-bit windows cut Pippenger's work by W_unsigned/W_signed: digits
+# land in [-(2^(c-1)-1), 2^(c-1)] so c=13 covers a 253-bit scalar in 20
+# windows (vs 32 c=8 windows) at 2^12 magnitude buckets per window; the
+# sign rides on the POINT (negating y is free: a second table with y
+# negated, indexed by sorted-sign offset).  This also removes the
+# top-window digit skew that forced the r2/r3 segment plan's worst padding
+# (253-bit scalars leave a c=8 top window with 16 distinct values).
+
+
+def _signed_digits(scal: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(N, nlimbs) canonical 16-bit limbs -> (W, N) int32 signed digits
+    with borrow propagation; W = ceil(16*nlimbs / c).
+
+    Requires the top window's raw digit + borrow <= 2^(c-1), which holds
+    whenever the scalar bit-length is at least 2 below W*c (true for Fr
+    253-bit scalars at c=13: top window holds bits 247..255 < 2^6)."""
+    nbits = 16 * scal.shape[1]
+    W = -(-nbits // c)
+    limbs = scal.astype(jnp.int32)
+    nl = scal.shape[1]
+    mask = (1 << c) - 1
+    raws = []
+    for w in range(W):
+        lo = (w * c) // 16
+        sh = (w * c) % 16
+        v = limbs[:, lo] >> sh
+        if lo + 1 < nl and sh + c > 16:
+            v = v | (limbs[:, lo + 1] << (16 - sh))
+        raws.append(v & mask)
+    half = 1 << (c - 1)
+    digs = []
+    borrow = jnp.zeros_like(raws[0])
+    for w in range(W):
+        d = raws[w] + borrow
+        hi = (d > half).astype(jnp.int32)
+        digs.append(d - (hi << c))
+        borrow = hi
+    return jnp.stack(digs, axis=0)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _digit_counts_signed(scal: jnp.ndarray, c: int):
+    """Signed-window bucket plan: sort |digit| per window, carry the sign
+    through the sort as a table offset (0 -> P, 1 -> -P)."""
+    d = _signed_digits(scal, c)  # (W, N)
+    sign = (d < 0).astype(jnp.int32)
+    mag = jnp.abs(d)
+    order = jnp.argsort(mag, axis=1)
+    sgn_sorted = jnp.take_along_axis(sign, order, axis=1)
+    sd = jnp.take_along_axis(mag, order, axis=1)
+    B = (1 << (c - 1)) + 1  # magnitudes 0..2^(c-1)
+    rng = jnp.arange(B, dtype=sd.dtype)
+    starts = jax.vmap(lambda row: jnp.searchsorted(row, rng))(sd)
+    ends = jax.vmap(lambda row: jnp.searchsorted(row, rng, side="right"))(sd)
+    counts = (ends - starts).at[:, 0].set(0)  # magnitude 0: no work
+    return order, sgn_sorted, starts, counts
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _with_neg_y_table(ptcat: jnp.ndarray, n: int, ncomp: int) -> jnp.ndarray:
+    """(N, rows) packed points -> (2N, rows) table with [P..., -P...]:
+    row N+i holds P_i with y negated (per Fq component: p - y, 0 -> 0)."""
+    from .pallas_field import _limbs_of
+    from ..fields.bls12_377 import P as _Pmod
+
+    p_limbs = _limbs_of(_Pmod, n)
+    y0, y1 = ncomp * n, 2 * ncomp * n
+    comps = []
+    for comp in range(ncomp):
+        yc = ptcat[:, y0 + comp * n : y0 + (comp + 1) * n]  # (N, n)
+        outs = []
+        borrow = jnp.zeros(yc.shape[:1], jnp.uint32)
+        for k in range(n):
+            v = np.uint32(p_limbs[k] + (1 << 16)) - yc[:, k] - borrow
+            outs.append(v & jnp.uint32(MASK))
+            borrow = 1 - (v >> 16)
+        neg = jnp.stack(outs, axis=1)
+        nz = (yc != 0).any(axis=1, keepdims=True)
+        comps.append(jnp.where(nz, neg, yc))
+    neg_pt = jnp.concatenate(
+        [ptcat[:, :y0]] + comps + [ptcat[:, y1:]], axis=1
+    )
+    return jnp.concatenate([ptcat, neg_pt], axis=0)
 
 
 # -- bucket splitting -------------------------------------------------------
@@ -434,13 +523,13 @@ _LANE_CLASS = 1024  # segment-lane padding granularity
 def _plan_segments(starts_np: np.ndarray, counts_np: np.ndarray, T_cap: int):
     """Host-side split of (window, bucket) runs into <= T_cap segments.
 
-    Returns (wnd, seg_start, seg_count, dense_idx, L) numpy arrays:
+    Returns (wnd, seg_start, seg_count, lane_off, nseg, L) numpy arrays:
     lane l sums points order[wnd[l], seg_start[l] : seg_start[l]+seg_count[l]];
-    dense_idx (W*B, S_pad) maps each flat bucket to its segment lanes
-    (pad slots point at lane L, a count-0 identity lane).
-    """
+    bucket j's segments are the CONSECUTIVE lanes [lane_off[j],
+    lane_off[j]+nseg[j]) — the segment reduce is itself a run-aligned
+    accumulation over lanes.  Empty buckets get no lanes (nseg 0)."""
     W, B = counts_np.shape
-    nseg = np.maximum(1, -(-counts_np.astype(np.int64) // T_cap)).reshape(-1)
+    nseg = (-(-counts_np.astype(np.int64) // T_cap)).reshape(-1)
     lane_off = np.concatenate([[0], np.cumsum(nseg)])
     L = int(lane_off[-1])
     flat_ids = np.repeat(np.arange(W * B), nseg)
@@ -451,63 +540,78 @@ def _plan_segments(starts_np: np.ndarray, counts_np: np.ndarray, T_cap: int):
     seg_count = np.clip(
         counts_np[wnd, b] - seg_in_bucket * T_cap, 0, T_cap
     ).astype(np.int32)
-    s_max = int(nseg.max())
-    s_pad = 1 << (s_max - 1).bit_length()
-    dense = np.full((W * B, s_pad), L, dtype=np.int32)
-    dense[flat_ids, seg_in_bucket] = np.arange(L, dtype=np.int32)
-    return wnd, seg_start, seg_count, dense, L
+    return (
+        wnd,
+        seg_start,
+        seg_count,
+        lane_off[:-1].astype(np.int32),
+        nseg.astype(np.int32),
+        L,
+    )
 
 
 def _pick_t_cap(counts_np: np.ndarray, W: int, B: int) -> int:
-    """Minimize bucket-phase + segment-reduce cost over rounded T classes.
+    """Minimize GATHER volume over rounded T classes.
 
-    Bucket phase costs T * padded_lanes lane-steps; the segment reduce
-    costs ~log2(s_pad) tree adds over W*B*s_pad gathered lanes."""
+    With per-tile loop bounds the kernel's add count is ~sum(counts)
+    regardless of T, so the tunable cost is materialized gather rows:
+    the bucket-phase runs tensor (T * lanes) plus the segment-reduce runs
+    tensor (W * B * s_pad)."""
     best, best_cost = None, None
-    mean = max(1, int(counts_np.sum()) // (W * B))
+    nz = max(1, int(np.count_nonzero(counts_np)))
+    mean = max(1, int(counts_np.sum()) // nz)
     cands = {_round_T(mean), _round_T(2 * mean), _round_T(4 * mean),
-             _round_T(max(32, mean // 2)), _round_T(int(counts_np.max()))}
+             _round_T(8 * mean), _round_T(max(16, mean // 2)),
+             _round_T(int(counts_np.max()))}
     nseg_all = counts_np.astype(np.int64)
     for T in sorted(cands):
-        nseg = np.maximum(1, -(-nseg_all // T))
+        nseg = -(-nseg_all // T)
         lanes = -(-int(nseg.sum()) // _LANE_CLASS) * _LANE_CLASS
-        s_pad = 1 << (int(nseg.max()) - 1).bit_length()
-        cost = T * lanes + W * B * s_pad * max(1, s_pad.bit_length() - 1)
+        s_max = max(1, int(nseg.max()))
+        s_pad = 1 << (s_max - 1).bit_length()
+        cost = T * lanes + W * B * s_pad
         if best_cost is None or cost < best_cost:
             best, best_cost = T, cost
     return best
 
 
 def _plan_lanes(T_cap: int, rows: int, L: int, s_pad: int):
-    """Pad lanes to the class granularity FIRST, then pick a chunk size
-    dividing the padded count (keeps the materialized (T_cap, rows, lc)
-    run tensor under ~2 GB without re-rounding L up to a huge chunk)."""
+    """Lane-chunk plan: one power-of-two chunk when it fits the ~2 GB run
+    tensor budget, else the largest in-budget power-of-two chunk.
+    Minimizing CHUNKS matters more than minimizing padding: each lax.map
+    chunk pays fixed gather/dispatch overhead (the r4 signed plan at 2^16
+    produced 81 serial 1024-lane chunks and tripled the bucket phase),
+    and padded lanes are cheap thanks to the kernel's per-tile bound."""
     budget = 2 << 30
-    per_lane = T_cap * rows * 4
-    need = L + (1 if s_pad > 1 else 0)  # room for the identity pad lane
-    L_pad = -(-need // _LANE_CLASS) * _LANE_CLASS
+    per_lane = max(1, T_cap * rows * 4)
+    need = L + 1  # room for the identity pad lane (empty-bucket dense rows)
+    # lc classes are powers of two (executable variety stays bounded:
+    # data-dependent lane counts quantize to at most a handful of (T_cap,
+    # lc) pairs); the per-tile loop bound in the bucket kernel makes the
+    # rounded-up padding lanes nearly free
     lc = _LANE_CLASS
-    while (
-        lc * 2 * per_lane <= budget and lc * 2 <= L_pad and L_pad % (lc * 2) == 0
-    ):
+    while lc < need and lc * 2 * per_lane <= budget:
         lc *= 2
-    return L_pad, lc
+    return -(-need // lc) * lc, lc
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7))
+@partial(jax.jit, static_argnums=(0, 6, 7, 8))
 def _msm_seg_buckets(
-    group_name, ptcat, order_flat, wnd, seg_start, seg_count, T_cap: int, lc: int
+    group_name, ptcat, order_flat, wnd, seg_start, seg_count, T_cap: int,
+    lc: int, n_sorted: int | None = None,
 ):
     """Segment-lane bucket accumulation: gather run-aligned points for each
     segment lane and run the fused bucket kernel, in lane chunks of `lc`
     so the materialized tensor stays under the memory budget.
 
-    order_flat: (W*N,) flattened sorted-index table; wnd/seg_start/
-    seg_count: (L_pad,) per-lane plans.  Returns (rows, L_pad) sums."""
+    order_flat: (W*n_sorted,) flattened sorted-index table (values may
+    index a table larger than n_sorted, e.g. the [P, -P] signed table);
+    wnd/seg_start/seg_count: (L_pad,) per-lane plans.  Returns (rows,
+    L_pad) sums."""
     from . import pallas_curve as pcu
 
     Gp = pcu.G1P if group_name == "g1" else pcu.G2P
-    N = ptcat.shape[0]
+    N = n_sorted if n_sorted is not None else ptcat.shape[0]
     L_pad = wnd.shape[0]
     tlen = jnp.max(seg_count)[None].astype(jnp.int32)
 
@@ -534,29 +638,42 @@ def _msm_seg_buckets(
     return parts.transpose(1, 0, 2).reshape(Gp.rows, L_pad)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _seg_reduce(group_name, seg_sums, dense_idx):
-    """Fold segment partial sums back into (rows, W*B) bucket sums with a
-    dense gather + log2(S_pad) fused tree adds."""
+@partial(jax.jit, static_argnums=(0, 3))
+def _seg_reduce(group_name, seg_sums, lane_off_nseg, S_cap: int):
+    """Fold segment partial sums back into (rows, W*B) bucket sums.
+
+    Each bucket's segments are CONSECUTIVE lanes of seg_sums, so this is
+    a second run-aligned accumulation: gather runs2[t, :, j] =
+    seg_sums[:, lane_off[j] + t] and run the per-tile-bounded bucket
+    kernel with counts = nseg.  Skewed buckets (the top signed window has
+    few distinct digits, so counts up to ~N/64) cost only their own
+    steps — the r4 dense-gather tree reduce paid s_pad rounds over EVERY
+    bucket and dominated the whole MSM at 2^16 (1.15 s of 1.96 s)."""
     from . import pallas_curve as pcu
 
     Gp = pcu.G1P if group_name == "g1" else pcu.G2P
-    WB, S = dense_idx.shape
-    if S == 1:
-        # every bucket has one segment, in flat bucket order already
-        return seg_sums[:, :WB]
-    cur = seg_sums[:, dense_idx.reshape(-1)].reshape(Gp.rows, WB, S)
-    while S > 1:
-        half = S // 2
-        a = cur[:, :, :half].reshape(Gp.rows, WB * half)
-        b = cur[:, :, half:].reshape(Gp.rows, WB * half)
-        cur = Gp.add2(a, b).reshape(Gp.rows, WB, half)
-        S = half
-    return cur.reshape(Gp.rows, WB)
+    lane_off, nseg = lane_off_nseg
+    WB = lane_off.shape[0]
+    L_pad = seg_sums.shape[1]
+    if S_cap == 1:
+        # exactly one segment per (nonempty) bucket: plain gather, empty
+        # buckets pick an arbitrary lane but are overwritten downstream
+        # only via weights... they must be identity: gather the pad lane
+        idx = jnp.where(nseg > 0, lane_off, L_pad - 1)
+        return seg_sums[:, idx]
+    pos = lane_off[None, :] + jnp.arange(S_cap, dtype=jnp.int32)[:, None]
+    pos = jnp.clip(pos, 0, L_pad - 1)  # (S_cap, WB)
+    seg_T = seg_sums.T  # (L_pad, rows)
+    entries = seg_T[pos.reshape(-1)]  # (S_cap*WB, rows)
+    runs = entries.reshape(S_cap, WB, Gp.rows).transpose(0, 2, 1)
+    tlen = jnp.asarray([S_cap], jnp.int32)
+    return Gp.bucket_phase(runs, nseg, tlen)[:, :WB]
 
 
-def _weighted_sum_packed(Gp, buckets, W: int, c: int):
-    """sum_j j*B_j per window on packed buckets (rows, W*2^c) -> (rows, W)."""
+def _weighted_sum_packed(Gp, buckets, W: int, c: int, plus_one: bool = False):
+    """sum_j w(j)*B_j per window on packed buckets (rows, W*2^c) ->
+    (rows, W); w(j) = j, or j+1 when plus_one (signed windows store
+    magnitude m at slot m-1)."""
     B = 1 << c
     h = min(B, 32)
     groups = B // h
@@ -581,10 +698,14 @@ def _weighted_sum_packed(Gp, buckets, W: int, c: int):
     weights = np.pad(weights, (0, lanes_p - lanes))
     maxbits = max(1, int((groups - 1) * h).bit_length())
     acc = Gp.identity_packed(lanes_p)
+    run0 = run  # step() doubles its base operand; keep sum_l B_l per group
     for bit in range(maxbits):
         sel = jnp.asarray(((weights >> bit) & 1).astype(np.uint32))
         acc, run = Gp.step(acc, run, sel)
-    res = Gp.add2(acc, tot)[:, :lanes]  # (rows, W*groups)
+    res = Gp.add2(acc, tot)
+    if plus_one:  # + sum_l B_l per group shifts every weight by one
+        res = Gp.add2(res, run0)
+    res = res[:, :lanes]  # (rows, W*groups)
 
     # fold groups per window
     res = res.reshape(Gp.rows, W, groups)
@@ -628,24 +749,42 @@ def _cat_points(group_name, points):
     return jnp.concatenate(flat, axis=1)
 
 
-def _msm_packed(group_name, points, scal: jnp.ndarray, c: int):
+_SIGNED_C = 13  # default signed window width (W = 20 for 253-bit Fr)
+
+
+def _msm_packed(group_name, points, scal: jnp.ndarray, c: int | None):
+    """Packed-kernel Pippenger.  c=None (the protocol default) uses signed
+    c=13 windows — 20 windows instead of 32 at c=8, i.e. 1.6x fewer
+    bucket adds; an explicit c keeps the legacy unsigned plan."""
     from . import pallas_curve as pcu
 
     Gp = pcu.G1P if group_name == "g1" else pcu.G2P
     ptcat = _cat_points(group_name, points)
-    order, starts, counts = _digit_counts(scal, c)
-    W, B = starts.shape
     N = ptcat.shape[0]
+    signed = c is None
+    if signed:
+        c = int(os.environ.get("TESTUDO_MSM_C", _SIGNED_C))
+        order, sgn_sorted, starts, counts = _digit_counts_signed(scal, c)
+        # table row N+i = -P_i; the sorted sign picks the half
+        table = _with_neg_y_table(ptcat, Gp.spec.nlimbs, Gp.ncomp)
+        order_flat = (order + sgn_sorted * N).reshape(-1)
+    else:
+        order, starts, counts = _digit_counts(scal, c)
+        table = ptcat
+        order_flat = order.reshape(-1)
+    W, B = starts.shape
 
-    # host-side segment plan (counts/starts are (W, 2^c) i32 — a cheap sync)
+    # host-side segment plan (counts/starts are (W, B) i32 — a cheap sync)
     starts_np = np.asarray(jax.device_get(starts))
     counts_np = np.asarray(jax.device_get(counts))
     T_cap = _pick_t_cap(counts_np, W, B)
-    wnd, seg_start, seg_count, dense, L = _plan_segments(
+    wnd, seg_start, seg_count, lane_off, nseg, L = _plan_segments(
         starts_np, counts_np, T_cap
     )
+    s_max = max(1, int(nseg.max()) if nseg.size else 1)
+    S_cap = 1 << (s_max - 1).bit_length()
 
-    L_pad, lc = _plan_lanes(T_cap, Gp.rows, L, dense.shape[1])
+    L_pad, lc = _plan_lanes(T_cap, Gp.rows, L, S_cap)
     pad = L_pad - L
     wnd = np.pad(wnd, (0, pad))
     seg_start = np.pad(seg_start, (0, pad))
@@ -653,26 +792,44 @@ def _msm_packed(group_name, points, scal: jnp.ndarray, c: int):
 
     seg_sums = _msm_seg_buckets(
         group_name,
-        ptcat,
-        order.reshape(-1),
+        table,
+        order_flat,
         jnp.asarray(wnd),
         jnp.asarray(seg_start),
         jnp.asarray(seg_count),
         T_cap,
         lc,
+        N,
     )
-    buckets = _seg_reduce(group_name, seg_sums, jnp.asarray(dense))
-    wins = _weighted_sum_packed_jit(group_name, buckets, W, c)
+    buckets = _seg_reduce(
+        group_name,
+        seg_sums,
+        (jnp.asarray(lane_off), jnp.asarray(nseg)),
+        S_cap,
+    )
+    if signed:
+        # drop the magnitude-0 slot: slot m-1 holds magnitude m, weight m
+        wins = _weighted_sum_packed_jit(
+            group_name, _drop_mag0(buckets, Gp.rows, W, B), W, c - 1, True
+        )
+    else:
+        wins = _weighted_sum_packed_jit(group_name, buckets, W, c)
     out = _horner_ladder_packed(group_name, wins, c)
     return Gp.unpack(out)
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3))
-def _weighted_sum_packed_jit(group_name, buckets, W: int, c: int):
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _drop_mag0(buckets, rows: int, W: int, B: int):
+    return buckets.reshape(rows, W, B)[:, :, 1:].reshape(rows, W * (B - 1))
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _weighted_sum_packed_jit(group_name, buckets, W: int, c: int,
+                             plus_one: bool = False):
     from . import pallas_curve as pcu
 
     Gp = pcu.G1P if group_name == "g1" else pcu.G2P
-    return _weighted_sum_packed(Gp, buckets, W, c)
+    return _weighted_sum_packed(Gp, buckets, W, c, plus_one)
 
 
 def _msm_small_packed(group_name, points, scal: jnp.ndarray):
@@ -683,6 +840,103 @@ def _msm_small_packed(group_name, points, scal: jnp.ndarray):
     points, scal = _pad_to(points, scal, 128)
     acc = Gp.ladder(Gp.pack(points), scal.T)
     return Gp.unpack(Gp.tree_reduce(acc))
+
+
+def msm_segmented(group_name, points, scal: jnp.ndarray, n_segments: int):
+    """n_segments equal-length MSMs in ONE fused ladder launch.
+
+    The batch splits into n_segments contiguous equal slices; returns the
+    list of per-segment host affine sums.  One device dispatch instead of
+    n_segments — MIPP's per-round (u_l, u_r) cross-MSMs (mipp.rs:77-85)
+    are the motivating caller: u_l/u_r share the full a vector, so one
+    ladder over it with swapped y halves computes both."""
+    from . import pallas_curve as pcu
+    from . import curve as jc_
+
+    Gp = pcu.G1P if group_name == "g1" else pcu.G2P
+    to_aff = (
+        jc_.g1_to_affine_host if group_name == "g1" else jc_.g2_to_affine_host
+    )
+    n = scal.shape[0]
+    assert n % n_segments == 0
+    seg = n // n_segments
+    # pad each segment independently to a 128 multiple so slices stay
+    # aligned after packing
+    seg_pad = max(128, seg + (-seg) % 128)
+    if seg_pad != seg:
+        scatter = _seg_scatter_idx(n_segments, seg, seg_pad)
+        points = tree_map(
+            lambda coord: jnp.zeros(
+                (n_segments * seg_pad,) + coord.shape[1:], coord.dtype
+            ).at[scatter].set(coord),
+            points,
+        )
+        scal = (
+            jnp.zeros((n_segments * seg_pad, scal.shape[1]), scal.dtype)
+            .at[scatter].set(scal)
+        )
+        seg = seg_pad
+    if not _use_packed():
+        outs = []
+        for s in range(n_segments):
+            sl = slice(s * seg, (s + 1) * seg)
+            pts_s = tree_map(lambda c: c[sl], points)
+            fn = msm_g1 if group_name == "g1" else msm_g2
+            outs.append(fn(pts_s, scal[sl]))
+        return outs
+    acc = Gp.ladder(Gp.pack(points), scal.T)  # (rows, n_segments*seg)
+    outs = []
+    for s in range(n_segments):
+        red = Gp.tree_reduce(acc[:, s * seg : (s + 1) * seg])
+        outs.append(to_aff(Gp.unpack(red))[0])
+    return outs
+
+
+def _seg_scatter_idx(n_segments: int, seg: int, seg_pad: int) -> np.ndarray:
+    return np.concatenate(
+        [np.arange(s * seg_pad, s * seg_pad + seg) for s in range(n_segments)]
+    )
+
+
+def msm_multi_small(group_name, parts):
+    """Many small MSMs in one fused ladder dispatch.
+
+    parts: list of (points_pytree, scal (n_i, nlimbs)) with differing
+    lengths.  Each part pads to a 128-lane multiple, all concatenate into
+    ONE ladder launch, and per-part tree reductions return host affine
+    sums.  Motivating caller: the PST opening's log(nv) quotient MSMs
+    (ark MultilinearPC::open's per-variable witness commitments), which
+    previously cost one device round trip each."""
+    from . import pallas_curve as pcu
+    from . import curve as jc_
+
+    if not _use_packed() or any(p[1].shape[0] > 1024 for p in parts):
+        fn = msm_g1 if group_name == "g1" else msm_g2
+        return [fn(pts, scal) for pts, scal in parts]
+    Gp = pcu.G1P if group_name == "g1" else pcu.G2P
+    to_aff = (
+        jc_.g1_to_affine_host if group_name == "g1" else jc_.g2_to_affine_host
+    )
+    padded_pts, padded_scal, bounds = [], [], []
+    off = 0
+    for pts, scal in parts:
+        n = scal.shape[0]
+        tgt = max(128, n + (-n) % 128)
+        pts, scal = _pad_to(pts, scal, tgt)
+        padded_pts.append(pts)
+        padded_scal.append(scal)
+        bounds.append((off, off + tgt))
+        off += tgt
+    cat_pts = tree_map(
+        lambda *cs: jnp.concatenate(cs, axis=0), *padded_pts
+    )
+    cat_scal = jnp.concatenate(padded_scal, axis=0)
+    acc = Gp.ladder(Gp.pack(cat_pts), cat_scal.T)
+    outs = []
+    for lo, hi in bounds:
+        red = Gp.tree_reduce(acc[:, lo:hi])
+        outs.append(to_aff(Gp.unpack(red))[0])
+    return outs
 
 
 # -- multi-MSM over one shared basis: fixed-base shared-table design --------
@@ -700,8 +954,9 @@ def _msm_small_packed(group_name, points, scal: jnp.ndarray):
 _TAB_NC = 1024
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
-def _multi_msm_packed_impl(group_name, ptcat, scal: jnp.ndarray, c: int, kc: int):
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _multi_msm_packed_impl(group_name, ptcat, scal: jnp.ndarray, c: int, kc: int,
+                           tab_nc: int = 1024):
     from . import pallas_curve as pcu
 
     Gp = pcu.G1P if group_name == "g1" else pcu.G2P
@@ -710,10 +965,12 @@ def _multi_msm_packed_impl(group_name, ptcat, scal: jnp.ndarray, c: int, kc: int
     W = (16 * nl) // c
 
     # table[j*B + d] = d * G_j (standard row layout, identity at d = 0).
-    # The in-scan add2 must stay at ONE grid step: a grid-2 fused kernel
-    # inside a lax.scan body (first reached at Spark scale, N = 2048)
-    # faulted the TPU worker, so the scan is chunked over <=1024-lane
-    # column blocks (every other validated in-loop launch is grid=1).
+    # Empirically the fused add2 kernel at TWO grid steps inside this
+    # lax.scan body (first reached at Spark scale, N = 2048) faulted the
+    # TPU worker; chunking the scan to <=tab_nc-lane column blocks keeps
+    # the in-loop launch at grid=1, which is the configuration validated
+    # on hardware.  (Whether grid>1 launches fault in OTHER loop bodies
+    # was not established — only this scan's add2 was observed to fault.)
     base = ptcat.T  # (rows, N) packed
 
     def tab_build(base_c):
@@ -726,7 +983,7 @@ def _multi_msm_packed_impl(group_name, ptcat, scal: jnp.ndarray, c: int, kc: int
         _, tabc = jax.lax.scan(tab_step, identc, None, length=B)
         return tabc  # (B, rows, Nc)
 
-    NC = _TAB_NC
+    NC = tab_nc
     if N > NC:
         tab = jnp.concatenate(
             [tab_build(base[:, off : off + NC]) for off in range(0, N, NC)],
@@ -812,7 +1069,12 @@ def _multi_msm_packed(group_name, points, scalars_canon: jnp.ndarray, c: int = 8
         scalars_canon = jnp.pad(scalars_canon, ((0, padk), (0, 0), (0, 0)))
         K = K + padk
     ptcat = _cat_points(group_name, points)
-    wins = _multi_msm_packed_impl(group_name, ptcat, scalars_canon, c, kc)
+    # _TAB_NC read at call time and passed as a static arg, so tests that
+    # patch it get their own jit cache entry (ADVICE r3: the patch used to
+    # bypass the cache key)
+    wins = _multi_msm_packed_impl(
+        group_name, ptcat, scalars_canon, c, kc, _TAB_NC
+    )
     # Horner-combine in K-chunks: one giant ladder (K*W lanes, 131k at
     # Spark 2^20 sizes) faulted the TPU worker — and so did 16k-lane
     # chunks; 256 columns = 8192 lanes is the configuration every other
@@ -866,11 +1128,12 @@ def msm_g1(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
             return jc.g1_to_affine_host(_msm_small_packed("g1", points, scal))[0]
         points, scal = _pad_to(points, scal, _SMALL_N)
         return jc.g1_to_affine_host(_msm_small_device("g1", points, scal))[0]
-    if c is None:
-        c = _pick_window(scal.shape[0])
     points, scal = _pad_pow2(points, scal)
     if _use_packed():
+        # c=None -> signed-window default inside _msm_packed
         return jc.g1_to_affine_host(_msm_packed("g1", points, scal, c))[0]
+    if c is None:
+        c = _pick_window(scal.shape[0])
     windows = _msm_windows("g1", points, scal, c)
     return _combine_windows_host(windows, c, "g1")
 
@@ -887,11 +1150,12 @@ def msm_g2(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
             return jc.g2_to_affine_host(_msm_small_packed("g2", points, scal))[0]
         points, scal = _pad_to(points, scal, _SMALL_N)
         return jc.g2_to_affine_host(_msm_small_device("g2", points, scal))[0]
-    if c is None:
-        c = _pick_window(scal.shape[0])
     points, scal = _pad_pow2(points, scal)
     if _use_packed():
+        # c=None -> signed-window default inside _msm_packed
         return jc.g2_to_affine_host(_msm_packed("g2", points, scal, c))[0]
+    if c is None:
+        c = _pick_window(scal.shape[0])
     windows = _msm_windows("g2", points, scal, c)
     return _combine_windows_host(windows, c, "g2")
 

@@ -298,7 +298,14 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
 
         def kernel(tlen_ref, counts_ref, runs_hbm, o_ref, buf, sem):
             j = pl.program_id(0)
-            T = tlen_ref[0]
+            # Per-TILE loop bound: lanes are sorted by (window, bucket), so
+            # neighboring lanes have similar run lengths and most tiles
+            # finish far before the global max — padding lanes (count 0)
+            # and short-run tiles cost (almost) nothing.  This is what
+            # makes power-of-two lane rounding affordable (bounded
+            # executable variety without paying T_cap * pad lane-steps).
+            T = jnp.minimum(tlen_ref[0], jnp.max(counts_ref[:]))
+            T = jnp.maximum(T, 1)
 
             def get_dma(slot, t):
                 return pltpu.make_async_copy(
