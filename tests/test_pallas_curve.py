@@ -319,31 +319,19 @@ def test_signed_digits_reconstruct():
 
 
 def test_msm_packed_signed_vs_host(monkeypatch):
-    """Signed-window packed Pippenger (c=None default path) vs host MSM;
-    c patched to 4 so interpret mode stays tractable — the signed
-    machinery (neg-y table, magnitude buckets, +1 weights) is identical
-    at any c."""
+    """Signed-window packed Pippenger (c=None default path) vs host MSM,
+    with edge scalars (0, 1, r-1) mixed in; c patched to 4 so interpret
+    mode stays tractable — the signed machinery (neg-y table, magnitude
+    buckets, +1 weights, run-aligned segment reduce) is identical at any
+    c.  One n for everything: each extra shape costs minutes of CPU
+    compile in interpret mode."""
     monkeypatch.setenv("TESTUDO_MSM_C", "4")
-    n = 96
-    pts_h = _rand_g1(n)
-    scalars = [_rand_fr() for _ in range(n)]
-    dev = jc.g1_from_affine_host(pts_h)
-    scal = _scal_limbs(scalars)
-    got = jc.g1_to_affine_host(msm._msm_packed("g1", dev, scal, None))[0]
-    assert got == hc.g1_msm(pts_h, scalars)
-
-
-def test_msm_packed_signed_edge_scalars(monkeypatch):
-    monkeypatch.setenv("TESTUDO_MSM_C", "4")
-    from testudo_tpu.fields.bls12_377 import R
-
-    n = 72
+    n = 68  # > _SMALL_N: full signed Pippenger, smallest viable batch
     pts_h = _rand_g1(n)
     scalars = [0, 1, R - 1, 2] + [_rand_fr() for _ in range(n - 4)]
     dev = jc.g1_from_affine_host(pts_h)
-    got = jc.g1_to_affine_host(
-        msm._msm_packed("g1", dev, _scal_limbs(scalars), None)
-    )[0]
+    scal = _scal_limbs(scalars)
+    got = jc.g1_to_affine_host(msm._msm_packed("g1", dev, scal, None))[0]
     assert got == hc.g1_msm(pts_h, scalars)
 
 

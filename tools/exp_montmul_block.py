@@ -32,11 +32,13 @@ P_np = np.asarray(p_limbs, np.uint32)
 NPR_np = np.asarray(npr_limbs, np.uint32)
 
 
-def mont_mul_block(at, bt):
+def mont_mul_block(at, bt, pv, nprv):
     """Block formulation: same math as _mont_mul_rows, whole-array ops.
 
     Accumulates the schoolbook into (2n+1, L) relaxed buffers via padded
-    block adds (one pad + one add per i instead of ~4n row ops)."""
+    block adds (one pad + one add per i instead of ~4n row ops).
+    pv/nprv: (n, L) broadcast constant-limb inputs (Pallas kernels must
+    receive constants as operands)."""
     # pass 1: T = a*b
     acc = jnp.zeros((2 * n + 1, L), jnp.uint32)
     for i in range(n):
@@ -50,7 +52,6 @@ def mont_mul_block(at, bt):
     # pass 2: m = (T mod R) * N' mod R — triangular, constant multiplicand
     Tarr = jnp.stack(T[:n])
     accm = jnp.zeros((n, L), jnp.uint32)
-    nprv = jnp.asarray(NPR_np)[:, None]
     for i in range(n):
         w = n - i
         pr = Tarr[i][None, :] * nprv[:w]     # (w, L)
@@ -60,7 +61,6 @@ def mont_mul_block(at, bt):
     m, _ = _carry_ripple_rows([accm[k] for k in range(n)], n)
 
     # pass 3: U = m * p, S = T + U
-    pv = jnp.asarray(P_np)[:, None]
     accu = jnp.zeros((2 * n + 1, L), jnp.uint32)
     for i in range(n):
         pr = m[i][None, :] * pv              # (n, L)
@@ -75,24 +75,27 @@ def mont_mul_block(at, bt):
 
 
 def mk(K, variant):
-    def kernel(a_ref, b_ref, o_ref):
+    def kernel(a_ref, b_ref, p_ref, npr_ref, o_ref):
         a = a_ref[:]
         b = b_ref[:]
         for _ in range(K):
             if variant == "rows":
                 a = jnp.stack(_mont_mul_rows(a, b, n, p_limbs, npr_limbs))
             else:
-                a = jnp.stack(mont_mul_block(a, b))
+                a = jnp.stack(mont_mul_block(a, b, p_ref[:], npr_ref[:]))
         o_ref[:] = a
+
+    pv = jnp.broadcast_to(jnp.asarray(P_np)[:, None], (n, L))
+    nprv = jnp.broadcast_to(jnp.asarray(NPR_np)[:, None], (n, L))
 
     @jax.jit
     def call(a, b):
         return pl.pallas_call(
             kernel,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, L), jnp.uint32),
-        )(a, b)
+        )(a, b, pv, nprv)
 
     return call
 
