@@ -38,15 +38,20 @@ def mont_mul_block(at, bt, pv, nprv):
     Accumulates the schoolbook into (2n+1, L) relaxed buffers via padded
     block adds (one pad + one add per i instead of ~4n row ops).
     pv/nprv: (n, L) broadcast constant-limb inputs (Pallas kernels must
-    receive constants as operands)."""
+    receive constants as operands).  Shifted accumulation uses pad+add
+    (Mosaic has no scatter-add lowering; `.at[slice].add` fails)."""
+
+    def shift_add(acc, block, off):
+        # acc (H, L) += block placed at row offset `off`
+        H = acc.shape[0]
+        return acc + jnp.pad(block, ((off, H - off - block.shape[0]), (0, 0)))
+
     # pass 1: T = a*b
     acc = jnp.zeros((2 * n + 1, L), jnp.uint32)
     for i in range(n):
         prods = at[i][None, :] * bt          # (n, L) exact u32
-        plo = prods & MASK
-        phi = prods >> 16
-        acc = acc.at[i : i + n].add(plo)
-        acc = acc.at[i + 1 : i + n + 1].add(phi)
+        acc = shift_add(acc, prods & MASK, i)
+        acc = shift_add(acc, prods >> 16, i + 1)
     T, t_carry = _carry_ripple_rows([acc[k] for k in range(2 * n)], 2 * n)
 
     # pass 2: m = (T mod R) * N' mod R — triangular, constant multiplicand
@@ -55,17 +60,17 @@ def mont_mul_block(at, bt, pv, nprv):
     for i in range(n):
         w = n - i
         pr = Tarr[i][None, :] * nprv[:w]     # (w, L)
-        accm = accm.at[i:].add(pr & MASK)
+        accm = shift_add(accm, pr & MASK, i)
         if w > 1:
-            accm = accm.at[i + 1 :].add((pr >> 16)[: w - 1])
+            accm = shift_add(accm, (pr >> 16)[: w - 1], i + 1)
     m, _ = _carry_ripple_rows([accm[k] for k in range(n)], n)
 
     # pass 3: U = m * p, S = T + U
     accu = jnp.zeros((2 * n + 1, L), jnp.uint32)
     for i in range(n):
         pr = m[i][None, :] * pv              # (n, L)
-        accu = accu.at[i : i + n].add(pr & MASK)
-        accu = accu.at[i + 1 : i + n + 1].add(pr >> 16)
+        accu = shift_add(accu, pr & MASK, i)
+        accu = shift_add(accu, pr >> 16, i + 1)
     S_rows = [T[k] + accu[k] for k in range(2 * n)]
     S_rows.append(t_carry + accu[2 * n])
     S, s_carry = _carry_ripple_rows(S_rows, 2 * n + 1)
