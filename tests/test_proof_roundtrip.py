@@ -160,3 +160,68 @@ def test_truncation_rejected():
         pass
     else:
         raise AssertionError("trailing bytes accepted")
+
+
+# -- CanonicalDeserialize validation (ark Validate::Yes parity, ADVICE r4) --
+
+
+def _raises_deser(fn):
+    try:
+        fn()
+    except ser.DeserializeError:
+        return True
+    return False
+
+
+def test_non_subgroup_g1_rejected():
+    """On-curve points outside the r-order subgroup must not deserialize
+    (BLS12-377 G1 has cofactor > 1, so such points exist)."""
+    from testudo_tpu.fields.bls12_377 import P
+    from testudo_tpu.fields.host import fq_sqrt
+
+    x = 2
+    pt = None
+    while pt is None:
+        y = fq_sqrt((x * x % P * x + 1) % P)
+        if y is not None and hc.g1_mul((x, y), R) is not None:
+            pt = (x, y)
+        x += 1
+    for compress in (True, False):
+        blob = ser.g1_to_bytes(pt, compress)
+        assert _raises_deser(
+            lambda: ser.read_g1(ser.Reader(blob), compress)
+        ), "non-subgroup point accepted"
+
+
+def test_out_of_range_coordinate_rejected():
+    """Uncompressed coordinates must be < p (non-canonical encodings would
+    otherwise alias: proof-blob malleability)."""
+    from testudo_tpu.fields.bls12_377 import P
+
+    pt = _g1()
+    good = bytearray(ser.g1_to_bytes(pt, compress=False))
+    # replace x with x + p (same field element, non-canonical bytes)
+    bad = bytearray(good)
+    bad[:48] = (pt[0] + P).to_bytes(48, "little")
+    assert _raises_deser(
+        lambda: ser.read_g1(ser.Reader(bytes(bad)), False)
+    ), "non-canonical x accepted"
+    # and y likewise (keep flag bits clear: y + p stays below 2^382)
+    bad2 = bytearray(good)
+    bad2[48:] = (pt[1] + P).to_bytes(48, "little")
+    assert _raises_deser(
+        lambda: ser.read_g1(ser.Reader(bytes(bad2)), False)
+    ), "non-canonical y accepted"
+
+
+def test_unexpected_flag_bits_rejected():
+    """Uncompressed points never carry the Y_NEG flag; a blob with it set
+    is not a canonical encoding."""
+    pt = _g1()
+    raw = bytearray(ser.g1_to_bytes(pt, compress=False))
+    raw[-1] |= ser.FLAG_Y_NEG
+    assert _raises_deser(lambda: ser.read_g1(ser.Reader(bytes(raw)), False))
+    pt2 = _g2()
+    raw2 = bytearray(ser.g2_to_bytes(pt2, compress=False))
+    raw2[-1] |= ser.FLAG_Y_NEG
+    assert _raises_deser(lambda: ser.read_g2(ser.Reader(bytes(raw2)), False))

@@ -130,3 +130,32 @@ def test_sharded_multi_msm_matches(cpu_mesh):
             assert jc.g1_to_affine_host(one)[0] == hc.g1_msm(
                 basis_h, scal[i]
             )
+
+
+def test_sharded_looped_prover_bit_identical(cpu_mesh, monkeypatch):
+    """The compile-light per-round sharded prover (the driver dryrun path,
+    TESTUDO_FUSED_SUMCHECK=0) must produce byte-identical transcripts to
+    the single-device looped prover."""
+    monkeypatch.setenv("TESTUDO_FUSED_SUMCHECK", "0")
+    n = 64
+    tau = [rng.randrange(R) for _ in range(n)]
+    A = [rng.randrange(R) for _ in range(n)]
+    B = [rng.randrange(R) for _ in range(n)]
+    C = [(a * b) % R for a, b in zip(A, B)]
+    claim = sum(t * (a * b - c) for t, a, b, c in zip(tau, A, B, C)) % R
+    rounds = 6
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        enc = lambda v: _cpu(dense.encode_table(v))
+        t1 = PoseidonTranscript(fr_params())
+        p1, r1, c1 = sumcheck.prove_cubic_with_additive_term(
+            claim, rounds, enc(tau), enc(A), enc(B), enc(C), t1
+        )
+        t2 = PoseidonTranscript(fr_params())
+        with pmesh.use_mesh(cpu_mesh):
+            p2, r2, c2 = sumcheck.prove_cubic_with_additive_term(
+                claim, rounds, enc(tau), enc(A), enc(B), enc(C), t2
+            )
+    assert r1 == r2 and list(c1) == list(c2)
+    assert [p.coeffs for p in p1.polys] == [p.coeffs for p in p2.polys]
+    assert t1.sponge.state == t2.sponge.state

@@ -167,6 +167,35 @@ def _ph_evals(cs_inv: List[int], modulus: int) -> List[int]:
     return out
 
 
+def _gt_batch_pow(pf, gts: List, es: List[int]) -> List:
+    """out[i] = gts[i]^es[i]; native threaded batch on BLS12-377
+    (tn_gt_batch_pow), per-element fallback elsewhere."""
+    if pf.name == "bls12_377":
+        from .. import native
+
+        if native.available():
+            return native.gt_batch_pow(gts, [e % pf.R for e in es])
+    return [pf.gt_pow(g, e) for g, e in zip(gts, es)]
+
+
+def _g1_lincomb(pf, pts: List, es: List[int]):
+    """sum_i es[i] * pts[i] as one host MSM (native Pippenger on 377)."""
+    live = [(p_, e) for p_, e in zip(pts, es) if p_ is not None]
+    if not live:
+        return None
+    if pf.name == "bls12_377":
+        from .. import native
+
+        if native.available():
+            return native.g1_msm(
+                [p_ for p_, _ in live], [e % pf.R for _, e in live]
+            )
+    acc = None
+    for p_, e in live:
+        acc = pf.g1_add(acc, pf.g1_mul(p_, e))
+    return acc
+
+
 def verify(
     vk: pst.VerifierKey,
     transcript,
@@ -194,16 +223,21 @@ def verify(
         xs_inv.append(c_inv)
         final_y = final_y * (1 + c_inv * point_b[i] - point_b[i]) % pf.R
 
-    # fold T and U with the challenges (mipp.rs:240-277)
-    tc = T
-    uc = U
+    # fold T and U with the challenges (mipp.rs:240-277).  The reference
+    # par_iters these; here the 2m GT exponentiations run as ONE threaded
+    # native batch and the U fold is ONE 2m-point MSM (r4 ran both as
+    # serial host loops — the dominant share of the 2^16 verify time).
+    gts, g1s, exps_inv_first = [], [], []
     for (u_l, u_r), (t_l, t_r), c, c_inv in zip(
         proof.comms_u, proof.comms_t, xs, xs_inv
     ):
-        tc = tc * pf.gt_pow(t_l, c_inv) * pf.gt_pow(t_r, c)
-        uc = pf.g1_add(
-            uc, pf.g1_add(pf.g1_mul(u_l, c_inv), pf.g1_mul(u_r, c))
-        )
+        gts += [t_l, t_r]
+        g1s += [u_l, u_r]
+        exps_inv_first += [c_inv, c]
+    tc = T
+    for p_ in _gt_batch_pow(pf, gts, exps_inv_first):
+        tc = tc * p_
+    uc = pf.g1_add(U, _g1_lincomb(pf, g1s, exps_inv_first))
 
     m = len(xs_inv)
     rs = [transcript.challenge_scalar(pf.R) for _ in range(m)]

@@ -137,7 +137,10 @@ def setup(
     in the slow tier re-creates gens) reuse the first derivation and its
     compiled fixed-base modules."""
     profile = profile or _default_profile()
-    ck_key = (nv, seed, id(profile))
+    # key on the profile NAME, not id(): ids are reused after GC, so a
+    # dead profile's cache entry could alias a new profile with the same
+    # nv/seed (ADVICE r4).  Profiles are identified by curve name.
+    ck_key = (nv, seed, profile.name)
     hit = _SETUP_CACHE.get(ck_key)
     if hit is not None:
         return hit

@@ -40,31 +40,46 @@ class AddrTimestamps:
     ops_addr: List[jnp.ndarray]  # device tables
     read_ts: List[jnp.ndarray]
     audit_ts: jnp.ndarray
-    audit_ts_ints: List[int]
-    read_ts_ints: List[List[int]]
 
     @staticmethod
     def new(num_cells: int, num_ops: int, ops_addr: List[np.ndarray]) -> "AddrTimestamps":
-        audit = [0] * num_cells
-        addr_polys, read_polys, read_ints = [], [], []
-        for inst in ops_addr:
-            assert len(inst) == num_ops
-            read_ts = [0] * num_ops
-            for i in range(num_ops):
-                a = int(inst[i])
-                r_ts = audit[a]
-                read_ts[i] = r_ts
-                audit[a] = r_ts + 1
-            addr_polys.append(dense.encode_table([int(x) for x in inst]))
-            read_polys.append(dense.encode_table(read_ts))
-            read_ints.append(read_ts)
+        """Read-timestamp construction (sparse_mlpoly.rs:220-279), fully
+        vectorized: the reference walks every op bumping a per-cell counter;
+        the same counters fall out of a stable sort — read_ts of op i is
+        its rank among equal addresses ACROSS the concatenated instances
+        (the audit counter carries over from instance to instance), and
+        audit_ts is the per-cell total."""
+        all_addr = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in ops_addr]
+        )
+        total = all_addr.shape[0]
+        assert total == num_ops * len(ops_addr)
+        order = np.argsort(all_addr, kind="stable")
+        sorted_addr = all_addr[order]
+        is_start = np.empty(total, dtype=bool)
+        if total:
+            is_start[0] = True
+            is_start[1:] = sorted_addr[1:] != sorted_addr[:-1]
+        run_id = np.cumsum(is_start) - 1
+        run_starts = np.flatnonzero(is_start)
+        rank = np.arange(total, dtype=np.int64) - run_starts[run_id]
+        read_all = np.empty(total, dtype=np.int64)
+        read_all[order] = rank
+        audit_np = np.bincount(all_addr, minlength=num_cells).astype(np.int64)
+        assert audit_np.shape[0] == num_cells, "address out of range"
+        addr_polys = [
+            dense.encode_table_small(np.asarray(a, dtype=np.int64))
+            for a in ops_addr
+        ]
+        read_polys = [
+            dense.encode_table_small(read_all[k * num_ops : (k + 1) * num_ops])
+            for k in range(len(ops_addr))
+        ]
         return AddrTimestamps(
             ops_addr,
             addr_polys,
             read_polys,
-            dense.encode_table(audit),
-            audit,
-            read_ints,
+            dense.encode_table_small(audit_np),
         )
 
     def deref(self, mem_val_dev: jnp.ndarray) -> List[jnp.ndarray]:

@@ -394,6 +394,126 @@ def _sharded_mesh_for(tables, num_rounds: int):
     return mesh
 
 
+# -- per-round sharded prover (compile-light) -------------------------------
+#
+# The fused sharded prover above runs a WHOLE sumcheck (round kernels +
+# device Poseidon transcript) as one shard_map jit — one dispatch, but a
+# huge unrolled graph whose compile cost is minutes on a small CPU host
+# (the driver dryrun budget).  This variant keeps the mesh semantics —
+# cyclic table layout, per-round psum of the 2-3 round evaluations,
+# device-local folds — but runs the transcript on the host and compiles
+# only two tiny graphs per table size (evals + fold), so a sharded
+# sumcheck costs ~2*log(n) dispatches and seconds of cold compile.  It is
+# the path the driver's dryrun_multichip validates; the fused path's
+# byte-equality is covered by tests/test_sharding.py.
+
+
+@_lru_cache(maxsize=None)
+def _sharded_round_fns(kind: str, mesh):
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import mesh as pmesh
+
+    ntab = {"quad": 2, "cubic_tau": 4, "cubic": 3}[kind]
+    spec_t = P(pmesh.AXIS, None, None)
+
+    def kernel(tabs):
+        if kind == "quad":
+            return _round_evals_quad(tabs[0], tabs[1])
+        if kind == "cubic_tau":
+            return _round_evals_cubic_tau(*tabs)
+        return _round_evals_cubic_prod(*tabs)
+
+    def evals(*tabs):
+        local = [t.reshape(t.shape[1], t.shape[2]) for t in tabs]
+        ev = kernel(local)
+        return jf._fold_wide(FR, jax.lax.psum(ev, pmesh.AXIS))
+
+    ev_fn = jax.jit(
+        pmesh._shard_map(evals, mesh, (spec_t,) * ntab, P(None, None))
+    )
+
+    def fold(r, *tabs):
+        return tuple(
+            dense.bound_top(t.reshape(t.shape[1], t.shape[2]), r)[None]
+            for t in tabs
+        )
+
+    fold_fn = jax.jit(
+        pmesh._shard_map(
+            fold, mesh, (P(None),) + (spec_t,) * ntab, (spec_t,) * ntab
+        )
+    )
+    return ev_fn, fold_fn
+
+
+def _prove_looped_sharded(kind: str, claim: int, num_rounds: int, tables,
+                          transcript, mesh):
+    """Per-round sharded prover: sharded round kernels + psum on device,
+    transcript on host.  Tail rounds (table of D elements) run on the
+    default device via the plain kernels."""
+    from ..parallel import mesh as pmesh
+
+    D = int(mesh.devices.size)
+    num_local = num_rounds - (D.bit_length() - 1)
+    m = R  # coefficients live in Fr regardless of the sponge field
+    kernel_single = {
+        "quad": lambda t: _round_evals_quad(*t),
+        "cubic_tau": lambda t: _round_evals_cubic_tau(*t),
+        "cubic": lambda t: _round_evals_cubic_prod(*t),
+    }[kind]
+    ev_fn, fold_fn = _sharded_round_fns(kind, mesh)
+    tabs = [pmesh.cyclic_split(mesh, t) for t in tables]
+    tables = None
+    e = claim % R
+    rs: List[int] = []
+    polys: List[UniPoly] = []
+    for i in range(num_rounds):
+        if i == num_local:
+            # remnant has one element per device: join to natural order on
+            # the default device and finish with the single-device kernels
+            tables = [
+                jnp.asarray(np.asarray(t).reshape(D, FR.nlimbs)[_cyclic_perm(D)])
+                for t in tabs
+            ]
+            tabs = None
+        if tabs is not None:
+            ev = _pull(ev_fn(*tabs))
+        else:
+            ev = _pull(kernel_single(tables))
+        if kind == "quad":
+            evals = [ev[0], (e - ev[0]) % R, ev[1]]
+        else:
+            evals = [ev[0], (e - ev[0]) % R, ev[1], ev[2]]
+        poly = UniPoly.from_evals(evals)
+        for c in poly.coeffs:
+            transcript.append_scalar(c, m)
+        r_j = transcript.challenge_scalar(m)
+        rs.append(r_j)
+        rdev = dense.encode_scalar(r_j)
+        if tabs is not None:
+            tabs = list(fold_fn(rdev, *tabs))
+        else:
+            tables = [dense.bound_top(t, rdev) for t in tables]
+        e = poly.evaluate(r_j)
+        polys.append(poly)
+    if tabs is not None:  # num_local == num_rounds: remnant never gathered
+        tables = [
+            jnp.asarray(np.asarray(t).reshape(D, FR.nlimbs)[_cyclic_perm(D)])
+            for t in tabs
+        ]
+    claims = [dense.decode_scalar(t[0]) for t in tables]
+    return SumcheckInstanceProof(polys), rs, claims
+
+
+def _cyclic_perm(D: int) -> np.ndarray:
+    """Permutation mapping cyclic (D, 1) layout rows to natural order.
+
+    With q = 1 the cyclic layout [d, 0] holds global index d, so rows are
+    already natural — kept as an explicit identity for clarity."""
+    return np.arange(D)
+
+
 @_lru_cache(maxsize=None)
 def _fused_batched_fn(num_rounds: int, k_par: int, k_seq: int, modulus: int,
                       mode0: int, index0: int):
@@ -527,6 +647,13 @@ def prove_cubic_with_additive_term(
         return _prove_fused(
             "cubic_tau", claim, num_rounds, (tau, A, B, C), transcript
         )
+    if spec is FR:
+        mesh = _sharded_mesh_for((tau, A, B, C), num_rounds)
+        if mesh is not None:
+            return _prove_looped_sharded(
+                "cubic_tau", claim, num_rounds, (tau, A, B, C), transcript,
+                mesh,
+            )
     m = spec.modulus
     e = claim % m
     rs: List[int] = []
@@ -562,6 +689,12 @@ def prove_quad(
                 "quad", claim, num_rounds, (A, B), transcript, mesh
             )
         return _prove_fused("quad", claim, num_rounds, (A, B), transcript)
+    if spec is FR:
+        mesh = _sharded_mesh_for((A, B), num_rounds)
+        if mesh is not None:
+            return _prove_looped_sharded(
+                "quad", claim, num_rounds, (A, B), transcript, mesh
+            )
     m = spec.modulus
     e = claim % m
     rs: List[int] = []
@@ -597,6 +730,11 @@ def prove_cubic(
                 "cubic", claim, num_rounds, (A, B, C), transcript, mesh
             )
         return _prove_fused("cubic", claim, num_rounds, (A, B, C), transcript)
+    mesh = _sharded_mesh_for((A, B, C), num_rounds)
+    if mesh is not None:
+        return _prove_looped_sharded(
+            "cubic", claim, num_rounds, (A, B, C), transcript, mesh
+        )
     e = claim % R
     rs: List[int] = []
     polys: List[UniPoly] = []

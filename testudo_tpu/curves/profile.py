@@ -17,6 +17,7 @@ are accelerated on every curve; only its group ops are host-side for now.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from functools import lru_cache
 from typing import Callable, List, Optional
@@ -226,6 +227,22 @@ def bls12_377() -> CurveProfile:
     from ..poseidon.transcript import fq_params, fr_params
     from .. import serialize as ser
 
+    # TESTUDO_HOST_CURVE=1 swaps the device group backends for host/native
+    # ones (the role HostGroupBackend already plays for BLS12-381): every
+    # curve op runs through the C++ library (or pure Python), so nothing
+    # curve-shaped is jit-compiled.  Used by the driver dryrun, where the
+    # multi-chip property under test is the SHARDED Fr work (sumcheck
+    # tables, psum'd round evals) and the XLA curve graphs' multi-minute
+    # CPU compiles would otherwise blow the budget.  Value parity with the
+    # device backends is exact (same canonical host affine results).
+    if os.environ.get("TESTUDO_HOST_CURVE") == "1":
+        g1b = HostGroupBackend(hc.g1_add, hc.g1_mul, _host_msm_g1_377, R377)
+        g2b = HostGroupBackend(hc.g2_add, hc.g2_mul, _host_msm_g2_377, R377)
+        fused = False
+    else:
+        g1b = _Dev377Backend("g1")
+        g2b = _Dev377Backend("g2")
+        fused = True
     return CurveProfile(
         name="bls12_377",
         R=R377,
@@ -248,10 +265,28 @@ def bls12_377() -> CurveProfile:
         ser_g1_uncompressed=lambda pt: ser.g1_to_bytes(pt, compress=False),
         ser_g2_uncompressed=lambda pt: ser.g2_to_bytes(pt, compress=False),
         ser_gt=ser.fq12_to_bytes,
-        g1b=_Dev377Backend("g1"),
-        g2b=_Dev377Backend("g2"),
-        fused_sumcheck=True,
+        g1b=g1b,
+        g2b=g2b,
+        fused_sumcheck=fused,
     )
+
+
+def _host_msm_g1_377(points, scalars):
+    from .. import native
+    from ..curves import host_curve as hc
+
+    if native.available():
+        return native.g1_msm(list(points), [int(s) for s in scalars])
+    return hc.g1_msm(list(points), [int(s) for s in scalars])
+
+
+def _host_msm_g2_377(points, scalars):
+    from .. import native
+    from ..curves import host_curve as hc
+
+    if native.available():
+        return native.g2_msm(list(points), [int(s) for s in scalars])
+    return hc.g2_msm(list(points), [int(s) for s in scalars])
 
 
 # ---------------------------------------------------------------------------

@@ -165,6 +165,19 @@ def gt_pow(f: Fq12, e: int) -> Fq12:
     return fq12_from(out.raw)
 
 
+def gt_batch_pow(fs: Sequence[Fq12], es: Sequence[int]) -> List[Fq12]:
+    """out[i] = fs[i]^es[i], threaded in native code (the MIPP verifier's
+    T-fold exponent batch)."""
+    l = lib()
+    n = len(fs)
+    assert n == len(es)
+    f_buf = b"".join(fq12_bytes(f) for f in fs)
+    s_buf = b"".join(_scalar32(e) for e in es)
+    out = ctypes.create_string_buffer(576 * n)
+    l.tn_gt_batch_pow(f_buf, s_buf, ctypes.c_int64(n), out)
+    return [fq12_from(out.raw[576 * i : 576 * (i + 1)]) for i in range(n)]
+
+
 def g1_msm(points: Sequence[object], scalars: Sequence[int]):
     l = lib()
     n = len(points)

@@ -1227,6 +1227,30 @@ void tn_gt_pow(const uint8_t *gt576, const uint8_t *exp_le, int64_t explen,
   fq12_write(out576, r);
 }
 
+// batch GT exponentiation: out[i] = gt[i]^scalar[i] (threaded); the MIPP
+// verifier's T-fold raises 2*log2(n) GT elements at once (mipp.rs:240-277
+// runs the same fold under par_iter).
+void tn_gt_batch_pow(const uint8_t *gts, const uint8_t *scalars32, int64_t n,
+                     uint8_t *out) {
+  init_constants();
+  int nt = num_threads();
+  std::vector<std::thread> threads;
+  int64_t chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int64_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+    if (lo >= hi) continue;
+    threads.emplace_back([=]() {
+      for (int64_t i = lo; i < hi; i++) {
+        Fq12 a, r;
+        fq12_read(a, gts + 576 * i);
+        fq12_pow_limbs(r, a, (const uint64_t *)(scalars32 + 32 * i), 4);
+        fq12_write(out + 576 * i, r);
+      }
+    });
+  }
+  for (auto &th : threads) th.join();
+}
+
 void tn_gt_mul(const uint8_t *a576, const uint8_t *b576, uint8_t *out576) {
   init_constants();
   Fq12 a, b, r;

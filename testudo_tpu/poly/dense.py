@@ -37,7 +37,35 @@ R = FR.modulus  # default scalar modulus (BLS12-377 Fr)
 
 def encode_table(values: Sequence[int], spec: jf.FieldSpec = FR) -> jnp.ndarray:
     """Host canonical ints -> device Montgomery table (n, nlimbs)."""
+    if isinstance(values, np.ndarray) and values.dtype.kind in "iu":
+        return encode_table_small(values, spec)
     return jnp.asarray(spec.encode(list(values)))
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _to_mont_dev(limbs: jnp.ndarray, spec: jf.FieldSpec) -> jnp.ndarray:
+    """Canonical limbs -> Montgomery form on device: x * R = mont_mul(x, R^2).
+
+    mont_mul returns canonical limbs < p, so the result is bit-identical to
+    the host encode path."""
+    r2 = jnp.asarray(jf._int_to_limbs(spec.r2_mod_p, spec.nlimbs))
+    return jf.mont_mul(spec, limbs, jnp.broadcast_to(r2, limbs.shape))
+
+
+def encode_table_small(values: np.ndarray, spec: jf.FieldSpec = FR) -> jnp.ndarray:
+    """Vectorized encode for nonnegative machine-int values (< 2^63):
+    numpy limb split + one device Montgomery multiply, instead of a Python
+    big-int loop per element (the Spark encode path at 2^20 nnz runs three
+    matrices x five tables through here — sparse_mlpoly.rs:220-279)."""
+    v = np.asarray(values, dtype=np.int64)
+    assert v.size == 0 or int(v.min()) >= 0, "encode_table_small: negative"
+    u = v.astype(np.uint64)
+    limbs = np.zeros((v.shape[0], spec.nlimbs), np.uint32)
+    for k in range(min(4, spec.nlimbs)):
+        limbs[:, k] = ((u >> np.uint64(16 * k)) & np.uint64(0xFFFF)).astype(
+            np.uint32
+        )
+    return _to_mont_dev(jnp.asarray(limbs), spec)
 
 
 def decode_table(arr, spec: jf.FieldSpec = FR) -> List[int]:

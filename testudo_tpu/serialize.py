@@ -191,15 +191,33 @@ def read_fq12(r: Reader) -> Fq12:
     return Fq12(c0, read_fq6(r))
 
 
+def _check_fq_range(v: int, what: str) -> int:
+    if v >= P:
+        raise DeserializeError(f"non-canonical Fq coordinate in {what}")
+    return v
+
+
 def read_g1(r: Reader, compress: bool):
     """Inverse of g1_to_bytes; compressed decompression solves
-    y^2 = x^3 + 1 and picks the root matching the sign flag."""
+    y^2 = x^3 + 1 and picks the root matching the sign flag.
+
+    Matches ark-serialize Validate::Yes (ADVICE r4): every coordinate is
+    range-checked < p, unexpected flag bits are rejected (our writers
+    never set Y_NEG on uncompressed points, and infinity+neg is not a
+    valid SWFlags combination), and prime-order-subgroup membership is
+    enforced on top of the on-curve check."""
     if not compress:
-        raw = bytearray(r.take(2 * FQ_BYTES))
+        x = _check_fq_range(
+            int.from_bytes(r.take(FQ_BYTES), "little"), "uncompressed G1 x"
+        )
+        raw = bytearray(r.take(FQ_BYTES))
         flags = raw[-1] & 0xC0
         raw[-1] &= 0x3F
-        x = int.from_bytes(raw[:FQ_BYTES], "little")
-        y = int.from_bytes(raw[FQ_BYTES:], "little")
+        y = _check_fq_range(
+            int.from_bytes(raw, "little"), "uncompressed G1 y"
+        )
+        if flags & FLAG_Y_NEG:
+            raise DeserializeError("unexpected flag bits on uncompressed G1")
         if flags & FLAG_INFINITY:
             if x or y:
                 raise DeserializeError("nonzero infinity encoding")
@@ -210,12 +228,13 @@ def read_g1(r: Reader, compress: bool):
         flags = raw[-1] & 0xC0
         raw[-1] &= 0x3F
         x = int.from_bytes(raw, "little")
+        if flags == (FLAG_INFINITY | FLAG_Y_NEG):
+            raise DeserializeError("invalid flag combination")
         if flags & FLAG_INFINITY:
             if x:
                 raise DeserializeError("nonzero infinity encoding")
             return None
-        if x >= P:
-            raise DeserializeError("x >= p in compressed point")
+        _check_fq_range(x, "compressed G1 x")
         from .fields.host import fq_sqrt
 
         y = fq_sqrt((x * x % P * x + 1) % P)
@@ -228,6 +247,8 @@ def read_g1(r: Reader, compress: bool):
 
     if not hc.g1_is_on_curve(pt):
         raise DeserializeError("G1 point not on curve")
+    if hc.g1_mul(pt, R) is not None:
+        raise DeserializeError("G1 point not in the r-order subgroup")
     return pt
 
 
@@ -238,9 +259,15 @@ def read_g2(r: Reader, compress: bool):
         flags = raw[-1] & 0xC0
         raw[-1] &= 0x3F
         y = Fq2(
-            int.from_bytes(raw[:FQ_BYTES], "little"),
-            int.from_bytes(raw[FQ_BYTES:], "little"),
+            _check_fq_range(
+                int.from_bytes(raw[:FQ_BYTES], "little"), "uncompressed G2 y"
+            ),
+            _check_fq_range(
+                int.from_bytes(raw[FQ_BYTES:], "little"), "uncompressed G2 y"
+            ),
         )
+        if flags & FLAG_Y_NEG:
+            raise DeserializeError("unexpected flag bits on uncompressed G2")
         if flags & FLAG_INFINITY:
             if not (x.is_zero() and y.is_zero()):
                 raise DeserializeError("nonzero infinity encoding")
@@ -251,11 +278,15 @@ def read_g2(r: Reader, compress: bool):
         raw = bytearray(r.take(FQ_BYTES))
         flags = raw[-1] & 0xC0
         raw[-1] &= 0x3F
-        x = Fq2(c0, int.from_bytes(raw, "little"))
+        if flags == (FLAG_INFINITY | FLAG_Y_NEG):
+            raise DeserializeError("invalid flag combination")
+        c1 = int.from_bytes(raw, "little")
+        x = Fq2(c0, c1)
         if flags & FLAG_INFINITY:
             if not x.is_zero():
                 raise DeserializeError("nonzero infinity encoding")
             return None
+        _check_fq_range(c1, "compressed G2 x.c1")
         from .curves.host_curve import B2
 
         y2 = x.square() * x + B2
@@ -269,6 +300,8 @@ def read_g2(r: Reader, compress: bool):
 
     if not hc.g2_is_on_curve(pt):
         raise DeserializeError("G2 point not on curve")
+    if hc.g2_mul(pt, R) is not None:
+        raise DeserializeError("G2 point not in the r-order subgroup")
     return pt
 
 

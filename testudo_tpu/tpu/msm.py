@@ -756,6 +756,27 @@ def _msm_packed(group_name, points, scal: jnp.ndarray, c: int | None):
     """Packed-kernel Pippenger.  c=None (the protocol default) uses signed
     c=13 windows — 20 windows instead of 32 at c=8, i.e. 1.6x fewer
     bucket adds; an explicit c keeps the legacy unsigned plan."""
+    return _drive_one(_msm_packed_gen(group_name, points, scal, c))
+
+
+def _drive_one(gen):
+    """Run a pipeline generator to completion, returning its value."""
+    while True:
+        try:
+            next(gen)
+        except StopIteration as stop:
+            return stop.value
+
+
+def _msm_packed_gen(group_name, points, scal: jnp.ndarray, c: int | None):
+    """Generator form of the packed Pippenger pipeline.
+
+    Yields at the two host-sync boundaries (after the digit-count dispatch,
+    and after the heavy kernels are dispatched) so a multi-device caller
+    (parallel/mesh.sharded_msm) can interleave: dispatch stage k on EVERY
+    device before any device's stage-(k+1) sync — the serial r4 loop
+    instead blocked each device's full pipeline before starting the next.
+    """
     from . import pallas_curve as pcu
 
     Gp = pcu.G1P if group_name == "g1" else pcu.G2P
@@ -763,7 +784,7 @@ def _msm_packed(group_name, points, scal: jnp.ndarray, c: int | None):
     N = ptcat.shape[0]
     signed = c is None
     if signed:
-        c = int(os.environ.get("TESTUDO_MSM_C", _SIGNED_C))
+        c = _validated_signed_c()
         order, sgn_sorted, starts, counts = _digit_counts_signed(scal, c)
         # table row N+i = -P_i; the sorted sign picks the half
         table = _with_neg_y_table(ptcat, Gp.spec.nlimbs, Gp.ncomp)
@@ -773,6 +794,8 @@ def _msm_packed(group_name, points, scal: jnp.ndarray, c: int | None):
         table = ptcat
         order_flat = order.reshape(-1)
     W, B = starts.shape
+
+    yield  # digit/sort work dispatched; sync follows on resume
 
     # host-side segment plan (counts/starts are (W, B) i32 — a cheap sync)
     starts_np = np.asarray(jax.device_get(starts))
@@ -815,7 +838,23 @@ def _msm_packed(group_name, points, scal: jnp.ndarray, c: int | None):
     else:
         wins = _weighted_sum_packed_jit(group_name, buckets, W, c)
     out = _horner_ladder_packed(group_name, wins, c)
+
+    yield  # heavy kernels dispatched; result sync happens in the caller
+
     return Gp.unpack(out)
+
+
+def _validated_signed_c() -> int:
+    """TESTUDO_MSM_C override, bounds-checked: _signed_digits merges at
+    most two 16-bit limbs per window, so c > 16 silently drops bits, and
+    c < 2 is degenerate (ADVICE r4)."""
+    c = int(os.environ.get("TESTUDO_MSM_C", _SIGNED_C))
+    if not 2 <= c <= 16:
+        raise ValueError(
+            f"TESTUDO_MSM_C={c} out of range: signed windows support "
+            f"2 <= c <= 16 (digit extraction reads at most two 16-bit limbs)"
+        )
+    return c
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
@@ -860,6 +899,20 @@ def msm_segmented(group_name, points, scal: jnp.ndarray, n_segments: int):
     n = scal.shape[0]
     assert n % n_segments == 0
     seg = n // n_segments
+    if seg > 1024:
+        # the fused ladder pays ~253 double-add steps per lane regardless
+        # of segment size; above ~1k lanes per segment Pippenger's
+        # per-point cost wins, so run each segment through the full
+        # pipeline instead (ADVICE r4).  The MIPP caller's sqrt-sized
+        # halving vectors stay on the ladder.
+        fn = msm_g1 if group_name == "g1" else msm_g2
+        return [
+            fn(
+                tree_map(lambda c: c[s * seg : (s + 1) * seg], points),
+                scal[s * seg : (s + 1) * seg],
+            )
+            for s in range(n_segments)
+        ]
     # pad each segment independently to a 128 multiple so slices stay
     # aligned after packing
     seg_pad = max(128, seg + (-seg) % 128)
@@ -1110,6 +1163,36 @@ def _mesh_for_batch(n: int):
     return mesh
 
 
+def msm_pipeline(group_name, points, scal: jnp.ndarray, c: int | None = None):
+    """Single-device MSM as a resumable pipeline (generator).
+
+    Yields at host-sync boundaries; the generator's return value is the
+    host affine result.  parallel/mesh.sharded_msm drives one pipeline per
+    device round-robin so every device's kernels are dispatched before any
+    device's sync blocks the host."""
+    to_aff = (
+        jc.g1_to_affine_host if group_name == "g1" else jc.g2_to_affine_host
+    )
+    if scal.shape[0] <= _SMALL_N:
+        if _use_packed():
+            res = _msm_small_packed(group_name, points, scal)
+        else:
+            points, scal = _pad_to(points, scal, _SMALL_N)
+            res = _msm_small_device(group_name, points, scal)
+        yield
+        return to_aff(res)[0]
+    points, scal = _pad_pow2(points, scal)
+    if _use_packed():
+        # c=None -> signed-window default inside _msm_packed_gen
+        res = yield from _msm_packed_gen(group_name, points, scal, c)
+        return to_aff(res)[0]
+    if c is None:
+        c = _pick_window(scal.shape[0])
+    windows = _msm_windows(group_name, points, scal, c)
+    yield
+    return _combine_windows_host(windows, c, group_name)
+
+
 def msm_g1(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
     """MSM over G1: device projective point pytree x scalars -> host affine.
 
@@ -1123,19 +1206,7 @@ def msm_g1(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
         from ..parallel import mesh as pmesh
 
         return pmesh.sharded_msm(mesh, "g1", points, scal, c)
-    if scal.shape[0] <= _SMALL_N:
-        if _use_packed():
-            return jc.g1_to_affine_host(_msm_small_packed("g1", points, scal))[0]
-        points, scal = _pad_to(points, scal, _SMALL_N)
-        return jc.g1_to_affine_host(_msm_small_device("g1", points, scal))[0]
-    points, scal = _pad_pow2(points, scal)
-    if _use_packed():
-        # c=None -> signed-window default inside _msm_packed
-        return jc.g1_to_affine_host(_msm_packed("g1", points, scal, c))[0]
-    if c is None:
-        c = _pick_window(scal.shape[0])
-    windows = _msm_windows("g1", points, scal, c)
-    return _combine_windows_host(windows, c, "g1")
+    return _drive_one(msm_pipeline("g1", points, scal, c))
 
 
 def msm_g2(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
@@ -1145,19 +1216,7 @@ def msm_g2(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
         from ..parallel import mesh as pmesh
 
         return pmesh.sharded_msm(mesh, "g2", points, scal, c)
-    if scal.shape[0] <= _SMALL_N:
-        if _use_packed():
-            return jc.g2_to_affine_host(_msm_small_packed("g2", points, scal))[0]
-        points, scal = _pad_to(points, scal, _SMALL_N)
-        return jc.g2_to_affine_host(_msm_small_device("g2", points, scal))[0]
-    points, scal = _pad_pow2(points, scal)
-    if _use_packed():
-        # c=None -> signed-window default inside _msm_packed
-        return jc.g2_to_affine_host(_msm_packed("g2", points, scal, c))[0]
-    if c is None:
-        c = _pick_window(scal.shape[0])
-    windows = _msm_windows("g2", points, scal, c)
-    return _combine_windows_host(windows, c, "g2")
+    return _drive_one(msm_pipeline("g2", points, scal, c))
 
 
 # ---------------------------------------------------------------------------
