@@ -156,22 +156,83 @@ def sharded_msm(mesh: Mesh, group: str, points, scalars_canon: jnp.ndarray,
             points,
         )
     add = hc.g1_add if group == "g1" else hc.g2_add
-    with use_mesh(None):  # per-shard work must not recurse into sharding
-        pipes = []
-        for d, dev in enumerate(devices):
-            sl = slice(d * shard, (d + 1) * shard)
-            pts_d = tree_map(lambda a: jax.device_put(a[sl], dev), points)
-            scal_d = jax.device_put(scalars_canon[sl], dev)
-            pipes.append(msm.msm_pipeline(group, pts_d, scal_d, c))
-        # Drive all pipelines round-robin: stage k is DISPATCHED on every
-        # device before any device's stage-(k+1) host sync, so the D
-        # shards' kernels overlap instead of serializing on the host
-        # (VERDICT r4 weak #3: the serial per-device loop capped scaling).
-        partials = _drive_all(pipes)
+    if not msm._use_packed():
+        # XLA path: ONE SPMD program (shard_map) — each device runs the
+        # complete per-shard pipeline inside the mapped body and the D
+        # partial sums come back as one (D, ...) array for a D-1-addition
+        # host combine.  Compiles once for all devices (the per-device
+        # dispatch below would compile one executable per device binding).
+        partials = _sharded_msm_xla(
+            mesh, group, points, scalars_canon, c, shard
+        )
+    else:
+        with use_mesh(None):  # per-shard work must not recurse
+            pipes = []
+            for d, dev in enumerate(devices):
+                sl = slice(d * shard, (d + 1) * shard)
+                pts_d = tree_map(lambda a: jax.device_put(a[sl], dev), points)
+                scal_d = jax.device_put(scalars_canon[sl], dev)
+                pipes.append(msm.msm_pipeline(group, pts_d, scal_d, c))
+            # Drive all pipelines round-robin: stage k is DISPATCHED on
+            # every device before any device's stage-(k+1) host sync, so
+            # the D shards' kernels overlap instead of serializing on the
+            # host (VERDICT r4 weak #3).  The packed path keeps per-device
+            # dispatch because its segment plan needs a host sync.
+            partials = _drive_all(pipes)
     acc = partials[0]
     for p in partials[1:]:
         acc = add(acc, p)
     return acc
+
+
+def _sharded_msm_xla(mesh: Mesh, group: str, points, scal: jnp.ndarray,
+                     c: Optional[int], shard: int):
+    """Block-sharded SPMD MSM over the mesh (XLA pipeline, one compile).
+
+    Returns the D per-shard host affine partial sums."""
+    from ..tpu import curve as jc_, msm
+
+    D = int(mesh.devices.size)
+    pts_r = tree_map(
+        lambda a: a.reshape(D, shard, *a.shape[1:]), points
+    )
+    scal_r = scal.reshape(D, shard, scal.shape[-1])
+    fn = _sharded_msm_xla_fn(mesh, group, shard, scal.shape[-1], c)
+    parts = fn(pts_r, scal_r)  # (D, ...) projective partials
+    to_aff = (
+        jc_.g1_to_affine_host if group == "g1" else jc_.g2_to_affine_host
+    )
+    return to_aff(parts)
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _sharded_msm_xla_fn(mesh, group: str, shard: int, nlimbs: int,
+                        c: Optional[int]):
+    from jax.sharding import PartitionSpec as P
+
+    from ..tpu import msm
+
+    G = msm._resolve_group(group)
+    c_eff = c if c is not None else msm._pick_window(shard)
+
+    def per_shard(pts, scal):
+        pts = tree_map(lambda a: a.reshape(a.shape[1:]), pts)
+        scal = scal.reshape(scal.shape[1:])
+        if shard <= msm._SMALL_N:
+            pts, scal = msm._pad_to(pts, scal, msm._SMALL_N)
+            res = msm._msm_small_device(group, pts, scal)
+        else:
+            wins = msm._msm_windows_impl(group, pts, scal, c_eff)
+            res = msm._horner_combine_device(G, wins, c_eff)
+        return tree_map(lambda x: x[None], res)
+
+    spec_in = P(AXIS)  # pytree-prefix spec: applies to every leaf
+    return jax.jit(
+        _shard_map(per_shard, mesh, (spec_in, spec_in), spec_in)
+    )
 
 
 def _drive_all(pipes):

@@ -65,7 +65,81 @@ def _cond_sub_p_rows(rows, hi_extra, p_limbs):
     return [jnp.where(need, d, r) for d, r in zip(diff, rows)]
 
 
+import os as _os
+
+# Block-structured mont-mul (default): whole-array padded block adds
+# instead of per-row accumulator updates.  Measured 2.2x faster in-kernel
+# on v5e (tools/exp_montmul_block.py: 5.6 us vs 12.1 us per 1024-lane
+# 24-limb mul) — Mosaic per-op overhead (~2.8 cycles/vreg-op, PERF.md r4)
+# dominates the row-list formulation's ~6,200 small ops.  Bit-identical
+# results; TESTUDO_BLOCK_MUL=0 restores the row-list formulation.
+_BLOCK_MUL = _os.environ.get("TESTUDO_BLOCK_MUL", "1") == "1"
+
+
 def _mont_mul_rows(at, bt, n, p_limbs, npr_limbs):
+    if _BLOCK_MUL:
+        return _mont_mul_rows_block(at, bt, n, p_limbs, npr_limbs)
+    return _mont_mul_rows_list(at, bt, n, p_limbs, npr_limbs)
+
+
+def _splat_rows(limbs, L):
+    """(v_0..v_{k-1}) scalar limbs -> (k, L) block via per-row splats (no
+    captured array constants — Mosaic folds scalar fills)."""
+    return jnp.stack(
+        [jnp.full((L,), np.uint32(v), jnp.uint32) for v in limbs]
+    )
+
+
+def _mont_mul_rows_block(at, bt, n, p_limbs, npr_limbs):
+    """Block-structured Montgomery product: at, bt (n, L) -> n rows (L,).
+
+    Same math as _mont_mul_rows_list (full product, m = T*N' mod R,
+    S = T + m*p, take S/R, conditional subtract) with the schoolbook
+    accumulated into whole (2n+1, L) buffers via padded block adds —
+    one pad+add per i instead of ~4n row updates.  Shifted placement
+    uses pad+add because Mosaic has no scatter-add lowering."""
+    L = at.shape[-1]
+    pv = _splat_rows(p_limbs, L)
+    nprv = _splat_rows(npr_limbs, L)
+
+    def shift_add(acc, block, off):
+        H = acc.shape[0]
+        return acc + jnp.pad(block, ((off, H - off - block.shape[0]), (0, 0)))
+
+    # pass 1: T = a*b
+    acc = jnp.zeros((2 * n + 1, L), jnp.uint32)
+    for i in range(n):
+        prods = at[i][None, :] * bt  # (n, L) exact u32
+        acc = shift_add(acc, prods & MASK, i)
+        acc = shift_add(acc, prods >> LIMB_BITS, i + 1)
+    T, t_carry = _carry_ripple_rows([acc[k] for k in range(2 * n)], 2 * n)
+
+    # pass 2: m = (T mod R) * N' mod R — triangular, constant multiplicand
+    Tarr = jnp.stack(T[:n])
+    accm = jnp.zeros((n, L), jnp.uint32)
+    for i in range(n):
+        w = n - i
+        pr = Tarr[i][None, :] * nprv[:w]  # (w, L)
+        accm = shift_add(accm, pr & MASK, i)
+        if w > 1:
+            accm = shift_add(accm, (pr >> LIMB_BITS)[: w - 1], i + 1)
+    m, _ = _carry_ripple_rows([accm[k] for k in range(n)], n)
+
+    # pass 3: U = m * p, S = T + U
+    accu = jnp.zeros((2 * n + 1, L), jnp.uint32)
+    for i in range(n):
+        pr = m[i][None, :] * pv  # (n, L)
+        accu = shift_add(accu, pr & MASK, i)
+        accu = shift_add(accu, pr >> LIMB_BITS, i + 1)
+    S_rows = [T[k] + accu[k] for k in range(2 * n)]
+    S_rows.append(t_carry + accu[2 * n])
+    S, s_carry = _carry_ripple_rows(S_rows, 2 * n + 1)
+    res = S[n : 2 * n]
+    hi_extra = S[2 * n] + s_carry
+    return _cond_sub_p_rows(res, hi_extra, p_limbs)
+
+
+def _mont_mul_rows_list(at, bt, n, p_limbs, npr_limbs):
     """Transposed-tile Montgomery product: at, bt (n, TN) -> n rows (TN,).
 
     Mirrors field.mont_mul's math (full product, m = T*N' mod R, S = T+m*p,

@@ -79,6 +79,19 @@ def mont_mul_block(at, bt, pv, nprv):
     return _cond_sub_p_rows(res, hi_extra, p_limbs)
 
 
+def _splat_consts(L_):
+    """Build (n, L) constant-limb blocks IN-KERNEL from scalar splats (no
+    captured array constants, no extra kernel operands — the integration
+    path for pallas_field/_mont_mul_rows)."""
+    pv = jnp.stack(
+        [jnp.full((L_,), np.uint32(v), jnp.uint32) for v in p_limbs]
+    )
+    nprv = jnp.stack(
+        [jnp.full((L_,), np.uint32(v), jnp.uint32) for v in npr_limbs]
+    )
+    return pv, nprv
+
+
 def mk(K, variant):
     def kernel(a_ref, b_ref, p_ref, npr_ref, o_ref):
         a = a_ref[:]
@@ -86,6 +99,9 @@ def mk(K, variant):
         for _ in range(K):
             if variant == "rows":
                 a = jnp.stack(_mont_mul_rows(a, b, n, p_limbs, npr_limbs))
+            elif variant == "block_splat":
+                pv_k, nprv_k = _splat_consts(a.shape[1])
+                a = jnp.stack(mont_mul_block(a, b, pv_k, nprv_k))
             else:
                 a = jnp.stack(mont_mul_block(a, b, p_ref[:], npr_ref[:]))
         o_ref[:] = a
@@ -120,8 +136,12 @@ def main():
     same = bool(jax.device_get(jnp.all(r1 == r2)))
     print("block == rows:", same, flush=True)
     assert same
+    r3 = mk(1, "block_splat")(a, b)
+    same2 = bool(jax.device_get(jnp.all(r1 == r3)))
+    print("block_splat == rows:", same2, flush=True)
+    assert same2
 
-    for variant in ("rows", "block"):
+    for variant in ("rows", "block", "block_splat"):
         ts = {}
         for K in (8, 64):
             call = mk(K, variant)
