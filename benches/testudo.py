@@ -66,16 +66,26 @@ def main():
         comm, decomm = snark.snark_encode(inst, gens)
         print(f"2^{s}: spark encode {time.time()-t0:.1f}s", flush=True)
 
-        t0 = time.time()
-        tp = PoseidonTranscript(fr_params())
-        proof = snark.snark_prove(inst, comm, decomm, vars_, inputs, gens, tp)
-        prove_ms = (time.time() - t0) * 1000
+        import os
 
-        t0 = time.time()
-        tv = PoseidonTranscript(fr_params())
-        ok = snark.snark_verify(proof, gens, comm, inputs, tv)
-        verify_ms = (time.time() - t0) * 1000
-        assert ok
+        reps = 2 if os.environ.get("TESTUDO_BENCH_WARM") == "1" else 1
+        for rep in range(reps):
+            t0 = time.time()
+            tp = PoseidonTranscript(fr_params())
+            proof = snark.snark_prove(inst, comm, decomm, vars_, inputs, gens, tp)
+            prove_ms = (time.time() - t0) * 1000
+
+            t0 = time.time()
+            tv = PoseidonTranscript(fr_params())
+            ok = snark.snark_verify(proof, gens, comm, inputs, tv)
+            verify_ms = (time.time() - t0) * 1000
+            assert ok
+            if reps == 2 and rep == 0:
+                print(
+                    f"2^{s} SNARK first pass (incl. executable load): "
+                    f"prove {prove_ms:.0f}ms verify {verify_ms:.0f}ms",
+                    flush=True,
+                )
 
         sat_size = len(proofs.ser_r1cs_proof(proof.r1cs_sat_proof))
         eval_size = len(proofs.ser_spark_proof(proof.r1cs_eval_proof.proof))

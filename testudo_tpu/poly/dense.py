@@ -39,7 +39,13 @@ def encode_table(values: Sequence[int], spec: jf.FieldSpec = FR) -> jnp.ndarray:
     """Host canonical ints -> device Montgomery table (n, nlimbs)."""
     if isinstance(values, np.ndarray) and values.dtype.kind in "iu":
         return encode_table_small(values, spec)
-    return jnp.asarray(spec.encode(list(values)))
+    values = list(values)
+    if len(values) > (1 << 14):
+        # big tables: canonical limb split on host (cheap to_bytes loop),
+        # Montgomery lift on device — skips a Python big-int multiply per
+        # element (2^20-scale Spark/z tables pay ~1 us/elt for it)
+        return _to_mont_dev(jnp.asarray(spec.to_limbs(values)), spec)
+    return jnp.asarray(spec.encode(values))
 
 
 @partial(jax.jit, static_argnums=(1,))

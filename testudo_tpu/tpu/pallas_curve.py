@@ -33,6 +33,7 @@ Reference hot sites these serve: ark-ec VariableBaseMSM (sqrt_pst.rs:124,
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,19 @@ def _interpret() -> bool:
         return jax.default_backend() == "cpu"
     except Exception:  # pragma: no cover
         return True
+
+
+def _vmem_params(interp: bool) -> dict:
+    """Raise the kernels' scoped-VMEM budget (v5e has 128 MB/core; the
+    default 16 MB rejects the wide-group block mont-mul's (2n+1, 6L)
+    accumulators at full lane width).  No-op in interpret mode."""
+    if interp:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        )
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -88,6 +102,39 @@ def _mul_rows(a, b, n, p_limbs, npr_limbs):
     return _mont_mul_rows(jnp.stack(a), jnp.stack(b), n, p_limbs, npr_limbs)
 
 
+# Wide-group multiplication: the RCB16 formulas' independent muls (groups
+# of 6 for the complete add) lane-concatenate into ONE block mont-mul.
+# Measured 1.35x per mul in an isolated kernel at 256 lanes
+# (tools/exp_mulmany_wide.py, seq 1.05 us vs wide 0.78 us on top of the
+# block formulation) — but a REGRESSION in the production kernels at 1024
+# lanes (bench 2^20: 3.67 s vs 3.27 s block-only): the operand
+# concatenations and result slices are real vreg copies there, and the
+# 6-wide width overflows the 16 MB scoped-VMEM budget (raising it needs
+# an --xla_tpu_scoped_vmem_limit_kib XLA flag deployment envs won't
+# have).  Default OFF; kept for narrower-lane kernels and future tiles.
+_WIDE_MULMANY = os.environ.get("TESTUDO_WIDE_MULMANY", "0") == "1"
+_WIDE_MAX = 3072  # max concatenated lane width per fused mul
+
+
+def _mul_rows_many(pairs, n, p_limbs, npr_limbs):
+    """[(a_rows, b_rows), ...] -> [result_rows, ...], lane-concatenated
+    into as few block mont-muls as the width cap allows."""
+    if not _WIDE_MULMANY or len(pairs) == 1:
+        return [_mul_rows(a, b, n, p_limbs, npr_limbs) for a, b in pairs]
+    k = len(pairs)
+    L = pairs[0][0][0].shape[-1]
+    if k * L > _WIDE_MAX:
+        mid = k // 2
+        return _mul_rows_many(pairs[:mid], n, p_limbs, npr_limbs) + \
+            _mul_rows_many(pairs[mid:], n, p_limbs, npr_limbs)
+    A = jnp.concatenate([jnp.stack(a) for a, _ in pairs], axis=-1)
+    B = jnp.concatenate([jnp.stack(b) for _, b in pairs], axis=-1)
+    rows = _mont_mul_rows(A, B, n, p_limbs, npr_limbs)
+    return [
+        [r[..., i * L : (i + 1) * L] for r in rows] for i in range(k)
+    ]
+
+
 class _RowOpsFq:
     """curve._complete_add/_complete_double ops namespace over limb rows."""
 
@@ -103,7 +150,7 @@ class _RowOpsFq:
         return _sub_rows_mod(a, b, self.p)
 
     def mul_many(self, pairs):
-        return [_mul_rows(a, b, self.n, self.p, self.npr) for a, b in pairs]
+        return _mul_rows_many(pairs, self.n, self.p, self.npr)
 
     def mul_b3(self, x):
         # b = 1 for BLS12-377 G1: 3x via two additions
@@ -142,7 +189,25 @@ class _RowOpsFq2:
         return (c0, c1)
 
     def mul_many(self, pairs):
-        return [self._mul1(a, b) for a, b in pairs]
+        # batch the 3 Karatsuba Fq muls of EVERY pair into wide groups
+        fq = self.fq
+        fq_pairs = []
+        for a, b in pairs:
+            fq_pairs.append((a[0], b[0]))
+            fq_pairs.append((a[1], b[1]))
+            fq_pairs.append(
+                (fq.add(a[0], a[1]), fq.add(b[0], b[1]))
+            )
+        res = _mul_rows_many(fq_pairs, fq.n, fq.p, fq.npr)
+        outs = []
+        for i in range(len(pairs)):
+            t0, t1, s = res[3 * i], res[3 * i + 1], res[3 * i + 2]
+            c1 = fq.sub(fq.sub(s, t0), t1)
+            t1_2 = fq.add(t1, t1)
+            t1_4 = fq.add(t1_2, t1_2)
+            c0 = fq.sub(t0, fq.add(t1_4, t1))
+            outs.append((c0, c1))
+        return outs
 
     def mul_b3(self, x):
         # b3 * (a0 + a1 u) = (3 a1, k a0), k = -3/5 (curve.py:_G2Ops.mul_b3)
@@ -361,6 +426,7 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
                 grid_spec=gs,
                 out_shape=jax.ShapeDtypeStruct((rows, L), jnp.uint32),
                 interpret=interp,
+                **_vmem_params(interp),
             )(tlen, counts8, runs)
             return out[:, :L_in] if pad else out
 
@@ -390,6 +456,7 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
             out_specs=out_spec,
             out_shape=out_shape,
             interpret=interp,
+            **_vmem_params(interp),
         )(*args)
         if pad:
             out = jax.tree_util.tree_map(lambda o: o[:, :L_in], out)

@@ -76,8 +76,15 @@ import os as _os
 _BLOCK_MUL = _os.environ.get("TESTUDO_BLOCK_MUL", "1") == "1"
 
 
+# The block form's (2n+1, L) accumulators need several live buffers of
+# (2n+1)*L*4 bytes of scoped VMEM; pallas_curve raises its kernels'
+# vmem_limit_bytes to 96 MB so widths through 8192 (wide groups at full
+# lane tiles) fit.  Wider launches keep the row-list form as a backstop.
+_BLOCK_MAX_L = 8192
+
+
 def _mont_mul_rows(at, bt, n, p_limbs, npr_limbs):
-    if _BLOCK_MUL:
+    if _BLOCK_MUL and at.shape[-1] <= _BLOCK_MAX_L:
         return _mont_mul_rows_block(at, bt, n, p_limbs, npr_limbs)
     return _mont_mul_rows_list(at, bt, n, p_limbs, npr_limbs)
 

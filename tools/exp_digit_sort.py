@@ -39,14 +39,20 @@ def combined(scal, c):
     return order, sgn_sorted, starts, counts
 
 
+def _sync(out):
+    # block_until_ready is unreliable on the axon backend (PERF.md r4);
+    # a device_get of a reduction is the only trustworthy sync
+    return jax.device_get(jnp.sum(out[3]))
+
+
 def t(label, fn, *args, reps=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     ts = []
     for _ in range(reps):
         t0 = time.time()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         ts.append(time.time() - t0)
     print(f"{label:24s} {min(ts)*1e3:9.1f} ms", flush=True)
     return out

@@ -20,10 +20,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, ".")
 from testudo_tpu.fields.bls12_377 import P  # noqa: E402
-from testudo_tpu.tpu.pallas_field import _limbs_of, _mont_mul_rows  # noqa: E402
+from testudo_tpu.tpu.pallas_field import (  # noqa: E402
+    _limbs_of, _mont_mul_rows_block, _mont_mul_rows,
+)
 
+import os
 n = 24
-L = 1024
+L = int(os.environ.get("EXP_L", "256"))
 G = 6  # group size (RCB16 stage-1/stage-3 mul groups)
 p_limbs = _limbs_of(P, n)
 mont_r = 1 << (16 * n)
@@ -39,7 +42,7 @@ def mk(K, variant):
             if variant == "seq":
                 outs = [
                     jnp.stack(
-                        _mont_mul_rows(outs[g], b[g], n, p_limbs, npr_limbs)
+                        _mont_mul_rows_block(outs[g], b[g], n, p_limbs, npr_limbs)
                     )
                     for g in range(G)
                 ]
@@ -47,7 +50,7 @@ def mk(K, variant):
                 wide_a = jnp.concatenate(outs, axis=1)  # (n, G*L)
                 wide_b = jnp.concatenate(b, axis=1)
                 r = jnp.stack(
-                    _mont_mul_rows(wide_a, wide_b, n, p_limbs, npr_limbs)
+                    _mont_mul_rows_block(wide_a, wide_b, n, p_limbs, npr_limbs)
                 )
                 outs = [r[:, g * L : (g + 1) * L] for g in range(G)]
         o_ref[:] = jnp.stack(outs)
