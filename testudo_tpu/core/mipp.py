@@ -227,6 +227,7 @@ def verify(
     # par_iters these; here the 2m GT exponentiations run as ONE threaded
     # native batch and the U fold is ONE 2m-point MSM (r4 ran both as
     # serial host loops — the dominant share of the 2^16 verify time).
+    tfold = Timer("mipp::verify T/U folds (batched)")
     gts, g1s, exps_inv_first = [], [], []
     for (u_l, u_r), (t_l, t_r), c, c_inv in zip(
         proof.comms_u, proof.comms_t, xs, xs_inv
@@ -238,6 +239,7 @@ def verify(
     for p_ in _gt_batch_pow(pf, gts, exps_inv_first):
         tc = tc * p_
     uc = pf.g1_add(U, _g1_lincomb(pf, g1s, exps_inv_first))
+    tfold.stop()
 
     m = len(xs_inv)
     rs = [transcript.challenge_scalar(pf.R) for _ in range(m)]
@@ -246,11 +248,15 @@ def verify(
     for i in range(m):
         v = v * (1 - rs[i] + xs_inv[i] * rs[i]) % pf.R
 
+    tch = Timer("mipp::verify check_g2 (PST p_h)")
     check_h = pst.check_g2(vk, proof.final_h, rs, v, proof.pst_proof_h)
+    tch.stop()
     if not check_h:
         return False
 
+    tfp = Timer("mipp::verify final pairing")
     final_t = pf.pairing(proof.final_a, proof.final_h)
+    tfp.stop()
     if tc != final_t:
         return False
 

@@ -151,11 +151,15 @@ def nizk_prove(inst: r1cs.Instance, vars_: r1cs.Assignment,
 def nizk_verify(proof: TestudoNizk, gens: TestudoNizkGens, inst: r1cs.Instance,
                 inputs: r1cs.Assignment, transcript: PoseidonTranscript) -> bool:
     """testudo_nizk.rs:136-157: the verifier evaluates A, B, C itself."""
+    from ..utils.timer import Timer
+
     transcript.append_bytes(inst.digest)
     c = transcript.challenge_scalar(R)
     transcript.new_from_state(c)
     rx, ry = proof.r
+    tev = Timer("nizk_verify::evaluate A,B,C")
     inst_evals = inst.inst.evaluate(rx, ry)
+    tev.stop()
     return r1csproof.verify_native(
         proof.r1cs_sat_proof, inst_evals, inst.inst.num_cons,
         inst.inst.num_vars, inputs.assignment, gens.gens_r1cs_sat, transcript,

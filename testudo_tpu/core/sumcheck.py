@@ -139,6 +139,22 @@ def _fused_enabled() -> bool:
     return _os.environ.get("TESTUDO_FUSED_SUMCHECK", "1") == "1"
 
 
+def _fused_spark_enabled() -> bool:
+    """Fused-prover gate for the Spark product-layer sumchecks
+    (prove_cubic_batched).  Each GKR layer's fused graph is keyed by
+    (num_rounds, k_par, k_seq, sponge mode/index) — no reuse across the
+    ~2 log2(nnz) layers — so a COLD full-SNARK run pays one multi-minute
+    remote compile per layer (~40 modules at 2^20).  The looped batched
+    prover instead reuses the per-shape round kernels shared with the
+    whole protocol.  TESTUDO_FUSED_SPARK=1/0 overrides; the default
+    follows TESTUDO_FUSED_SUMCHECK (fused on), so long-lived provers
+    keep best warm throughput and cold benches can opt out."""
+    v = _os.environ.get("TESTUDO_FUSED_SPARK")
+    if v is not None:
+        return v == "1"
+    return _fused_enabled()
+
+
 def _mont_const(x: int) -> jnp.ndarray:
     return jnp.asarray(FR.encode(x % R))
 
@@ -768,7 +784,7 @@ def prove_cubic_batched(
     claims_prod = (A_finals, B_finals, C_final) and claims_dotp the seq
     finals.
     """
-    if _fused_enabled() and num_rounds > 0:
+    if _fused_spark_enabled() and num_rounds > 0:
         return _prove_cubic_batched_fused(
             claim, num_rounds, poly_vec_par, poly_vec_seq, coeffs, transcript
         )
