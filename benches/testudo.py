@@ -20,6 +20,17 @@ def main():
     from testudo_tpu.poseidon.transcript import PoseidonTranscript, fr_params
     from testudo_tpu import proofs
 
+    name = "testudo_nizk.csv" if nizk else "testudo.csv"
+
+    def flush_rows(rows):
+        # Incremental write so a completed size survives a later failure.
+        with open(name, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["num_cons", "proving_time", "verification_time",
+                        "sat_proof_size", "eval_proof_size",
+                        "total_proof_size"])
+            w.writerows(rows)
+
     rows = []
     for s in exps:
         n = 1 << s
@@ -52,6 +63,7 @@ def main():
                     )
             sat_size = len(proofs.ser_r1cs_proof(proof.r1cs_sat_proof))
             rows.append([n, prove_ms, verify_ms, sat_size, 0, sat_size])
+            flush_rows(rows)
             print(
                 f"2^{s} cons NIZK: prove {prove_ms:.0f}ms verify "
                 f"{verify_ms:.0f}ms sat {sat_size}B",
@@ -91,18 +103,14 @@ def main():
         eval_size = len(proofs.ser_spark_proof(proof.r1cs_eval_proof.proof))
         total = len(proofs.ser_testudo_snark(proof))
         rows.append([n, prove_ms, verify_ms, sat_size, eval_size, total])
+        flush_rows(rows)
         print(
             f"2^{s} cons: prove {prove_ms:.0f}ms verify {verify_ms:.0f}ms "
             f"sat {sat_size}B eval {eval_size}B total {total}B",
             flush=True,
         )
 
-    name = "testudo_nizk.csv" if nizk else "testudo.csv"
-    with open(name, "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(["num_cons", "proving_time", "verification_time",
-                    "sat_proof_size", "eval_proof_size", "total_proof_size"])
-        w.writerows(rows)
+    flush_rows(rows)
     print(f"wrote {name}")
 
 

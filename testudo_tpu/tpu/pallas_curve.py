@@ -67,31 +67,40 @@ def _vmem_params(interp: bool) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# Row-layout modular arithmetic (field element = list of n (L,) u32 rows)
+# Row-layout modular arithmetic with lazy reduction
+#
+# A field value inside a kernel is an `RV`: n canonical 16-bit limb rows
+# plus a STATIC bound k meaning value < k*p.  Adds/subs ripple their
+# carries but skip the conditional subtract entirely (the dominant cost
+# of the old _add_rows_mod: ~120 of ~216 IR ops); Montgomery muls skip
+# their final conditional subtract too (output < 2p whenever
+# k(a)*k(b)*p <= R, which `mul_many` enforces by reducing operands only
+# when needed).  Values are reduced to canonical (< p) exactly once, at
+# kernel output boundaries (`finalize`), so packed arrays in HBM remain
+# bit-identical to the strict path.  Bounds are tracked at trace time —
+# zero runtime cost.  This removes ~35 conditional subtracts (~4,000 IR
+# ops, each paying Mosaic's ~2.8-cycle per-op overhead) from every
+# complete-add step.
 # ---------------------------------------------------------------------------
 
-
-def _add_rows_mod(a, b, p_limbs):
-    n = len(p_limbs)
-    rows, carry = _carry_ripple_rows([a[k] + b[k] for k in range(n)], n)
-    return _cond_sub_p_rows(rows, carry, p_limbs)
+_MASK_I = int(MASK)
 
 
-def _sub_rows_mod(a, b, p_limbs):
-    n = len(p_limbs)
-    diff = []
-    borrow = None
-    for k in range(n):
-        v = a[k] + np.uint32(1 << LIMB_BITS) - b[k]
-        if borrow is not None:
-            v = v - borrow
-        diff.append(v & MASK)
-        borrow = 1 - (v >> LIMB_BITS)  # 1 if a borrow was taken
-    fixed, _ = _carry_ripple_rows(
-        [diff[k] + np.uint32(p_limbs[k]) for k in range(n)], n
-    )
-    need = borrow != 0
-    return [jnp.where(need, f, d) for f, d in zip(fixed, diff)]
+class RV:
+    """Limb rows + static integer bound: 0 <= value < k * p."""
+
+    __slots__ = ("rows", "k")
+
+    def __init__(self, rows, k):
+        self.rows = list(rows)
+        self.k = int(k)
+
+
+jax.tree_util.register_pytree_node(
+    RV,
+    lambda v: (tuple(v.rows), v.k),
+    lambda k, rows: RV(list(rows), k),
+)
 
 
 def _select_rows(cond, a, b):
@@ -99,7 +108,9 @@ def _select_rows(cond, a, b):
 
 
 def _mul_rows(a, b, n, p_limbs, npr_limbs):
-    return _mont_mul_rows(jnp.stack(a), jnp.stack(b), n, p_limbs, npr_limbs)
+    return _mont_mul_rows(
+        jnp.stack(a), jnp.stack(b), n, p_limbs, npr_limbs, lazy=True
+    )
 
 
 # Wide-group multiplication: the RCB16 formulas' independent muls (groups
@@ -129,42 +140,121 @@ def _mul_rows_many(pairs, n, p_limbs, npr_limbs):
             _mul_rows_many(pairs[mid:], n, p_limbs, npr_limbs)
     A = jnp.concatenate([jnp.stack(a) for a, _ in pairs], axis=-1)
     B = jnp.concatenate([jnp.stack(b) for _, b in pairs], axis=-1)
-    rows = _mont_mul_rows(A, B, n, p_limbs, npr_limbs)
+    rows = _mont_mul_rows(A, B, n, p_limbs, npr_limbs, lazy=True)
     return [
         [r[..., i * L : (i + 1) * L] for r in rows] for i in range(k)
     ]
 
 
 class _RowOpsFq:
-    """curve._complete_add/_complete_double ops namespace over limb rows."""
+    """curve._complete_add/_complete_double ops namespace over RV values
+    (lazy-bound limb rows).  K_CARRY is the stable per-coordinate bound
+    of complete-add/double outputs, used for loop-carried accumulators."""
+
+    K_CARRY = 4
 
     def __init__(self, n, p_limbs, npr_limbs):
         self.n = n
         self.p = p_limbs
         self.npr = npr_limbs
+        self.p_int = sum(int(l) << (LIMB_BITS * i) for i, l in enumerate(p_limbs))
+        self.r_int = 1 << (LIMB_BITS * n)
+
+    # -- bound bookkeeping --------------------------------------------------
+
+    def _cap_ok(self, ka, kb):
+        # Montgomery requirement T = a*b < R*p  =>  ka*kb*p <= R
+        return ka * kb * self.p_int <= self.r_int
+
+    def _reduce_once(self, v):
+        """One conditional subtract of m*p: bound k -> ceil(k/2)."""
+        m = max((v.k + 1) // 2, 1)
+        rows = _cond_sub_p_rows(v.rows, None, _limbs_of(m * self.p_int, self.n))
+        return RV(rows, m)
+
+    def reduce_to(self, v, target):
+        while v.k > target:
+            m = max((v.k + 1) // 2, target)
+            rows = _cond_sub_p_rows(
+                v.rows, None, _limbs_of(m * self.p_int, self.n)
+            )
+            v = RV(rows, m)
+        return v
+
+    def clamp(self, v, k=None):
+        """Normalize to an exact static bound (for loop-carry stability):
+        reduce if above, relax the label if below."""
+        k = self.K_CARRY if k is None else k
+        v = self.reduce_to(v, k)
+        return RV(v.rows, k) if v.k < k else v
+
+    def finalize(self, v):
+        """Kernel-boundary reduction to canonical (< p) rows."""
+        return self.reduce_to(v, 1).rows
+
+    # -- field ops ----------------------------------------------------------
 
     def add(self, a, b):
-        return _add_rows_mod(a, b, self.p)
+        k = a.k + b.k
+        if k * self.p_int >= self.r_int:  # pragma: no cover - static guard
+            raise ValueError(f"lazy add bound overflow: k={k}")
+        rows, _ = _carry_ripple_rows(
+            [x + y for x, y in zip(a.rows, b.rows)], self.n
+        )
+        return RV(rows, k)
+
+    def smul(self, a, c):
+        """Small-constant multiple (c <= 15): one scaled ripple."""
+        k = a.k * c
+        if k * self.p_int >= self.r_int:  # pragma: no cover - static guard
+            raise ValueError(f"lazy smul bound overflow: k={k}")
+        rows, _ = _carry_ripple_rows([np.uint32(c) * r for r in a.rows], self.n)
+        return RV(rows, k)
 
     def sub(self, a, b):
-        return _sub_rows_mod(a, b, self.p)
+        """a - b + k(b)*p via two's complement; single ripple, no fix-up."""
+        k = a.k + b.k
+        if k * self.p_int >= self.r_int:  # pragma: no cover - static guard
+            raise ValueError(f"lazy sub bound overflow: k={k}")
+        kbp = _limbs_of(b.k * self.p_int, self.n)
+        rows = [
+            a.rows[i] + (np.uint32(int(kbp[i]) + _MASK_I) - b.rows[i])
+            for i in range(self.n)
+        ]
+        rows[0] = rows[0] + np.uint32(1)
+        rows, _ = _carry_ripple_rows(rows, self.n)  # drops the 2^384 term
+        return RV(rows, k)
 
     def mul_many(self, pairs):
-        return _mul_rows_many(pairs, self.n, self.p, self.npr)
+        prepped = []
+        for a, b in pairs:
+            while not self._cap_ok(a.k, b.k):
+                if a.k >= b.k:
+                    a = self._reduce_once(a)
+                else:
+                    b = self._reduce_once(b)
+            prepped.append((a, b))
+        outs = _mul_rows_many(
+            [(a.rows, b.rows) for a, b in prepped], self.n, self.p, self.npr
+        )
+        return [RV(o, 2) for o in outs]
 
     def mul_b3(self, x):
-        # b = 1 for BLS12-377 G1: 3x via two additions
-        return _add_rows_mod(_add_rows_mod(x, x, self.p), x, self.p)
+        # b = 1 for BLS12-377 G1: 3x in one scaled ripple
+        return self.smul(x, 3)
 
     def mul_b3_pair(self, x, y):
         return self.mul_b3(x), self.mul_b3(y)
 
     def select(self, c, a, b):
-        return _select_rows(c, a, b)
+        return RV(_select_rows(c, a.rows, b.rows), max(a.k, b.k))
 
 
 class _RowOpsFq2:
-    """Fq2 = Fq[u]/(u^2 + 5) row ops (matches tpu.curve fq2_* semantics)."""
+    """Fq2 = Fq[u]/(u^2 + 5) row ops over (RV, RV) component pairs
+    (matches tpu.curve fq2_* semantics)."""
+
+    K_CARRY = 8
 
     def __init__(self, n, p_limbs, npr_limbs, b3_k_limbs):
         self.fq = _RowOpsFq(n, p_limbs, npr_limbs)
@@ -176,53 +266,57 @@ class _RowOpsFq2:
     def sub(self, a, b):
         return (self.fq.sub(a[0], b[0]), self.fq.sub(a[1], b[1]))
 
-    def _mul1(self, a, b):
-        fq = self.fq
-        t0 = _mul_rows(a[0], b[0], fq.n, fq.p, fq.npr)
-        t1 = _mul_rows(a[1], b[1], fq.n, fq.p, fq.npr)
-        s = _mul_rows(fq.add(a[0], a[1]), fq.add(b[0], b[1]), fq.n, fq.p, fq.npr)
-        c1 = fq.sub(fq.sub(s, t0), t1)
-        # c0 = t0 - 5 t1  (qnr = -5)
-        t1_2 = fq.add(t1, t1)
-        t1_4 = fq.add(t1_2, t1_2)
-        c0 = fq.sub(t0, fq.add(t1_4, t1))
-        return (c0, c1)
+    def clamp(self, v, k=None):
+        k = self.K_CARRY if k is None else k
+        return (self.fq.clamp(v[0], k), self.fq.clamp(v[1], k))
 
     def mul_many(self, pairs):
         # batch the 3 Karatsuba Fq muls of EVERY pair into wide groups
         fq = self.fq
         fq_pairs = []
         for a, b in pairs:
-            fq_pairs.append((a[0], b[0]))
-            fq_pairs.append((a[1], b[1]))
-            fq_pairs.append(
-                (fq.add(a[0], a[1]), fq.add(b[0], b[1]))
-            )
-        res = _mul_rows_many(fq_pairs, fq.n, fq.p, fq.npr)
+            for x, y in (
+                (a[0], b[0]),
+                (a[1], b[1]),
+                (fq.add(a[0], a[1]), fq.add(b[0], b[1])),
+            ):
+                while not fq._cap_ok(x.k, y.k):
+                    if x.k >= y.k:
+                        x = fq._reduce_once(x)
+                    else:
+                        y = fq._reduce_once(y)
+                fq_pairs.append((x, y))
+        res = _mul_rows_many(
+            [(x.rows, y.rows) for x, y in fq_pairs], fq.n, fq.p, fq.npr
+        )
         outs = []
         for i in range(len(pairs)):
-            t0, t1, s = res[3 * i], res[3 * i + 1], res[3 * i + 2]
-            c1 = fq.sub(fq.sub(s, t0), t1)
-            t1_2 = fq.add(t1, t1)
-            t1_4 = fq.add(t1_2, t1_2)
-            c0 = fq.sub(t0, fq.add(t1_4, t1))
-            outs.append((c0, c1))
+            t0, t1, s = (RV(r, 2) for r in res[3 * i : 3 * i + 3])
+            c1 = fq.sub(fq.sub(s, t0), t1)  # k = 6
+            c0 = fq.sub(t0, fq.smul(t1, 5))  # c0 = t0 - 5 t1 (qnr -5), k = 12
+            outs.append((fq.reduce_to(c0, 4), fq.reduce_to(c1, 4)))
         return outs
+
+    def _mul1(self, a, b):
+        return self.mul_many([(a, b)])[0]
 
     def mul_b3(self, x):
         # b3 * (a0 + a1 u) = (3 a1, k a0), k = -3/5 (curve.py:_G2Ops.mul_b3)
         fq = self.fq
-        shape = x[0][0].shape
-        kc = [jnp.full(shape, np.uint32(l)) for l in self.b3_k]
-        ka0 = _mul_rows(x[0], kc, fq.n, fq.p, fq.npr)
-        t3 = fq.add(fq.add(x[1], x[1]), x[1])
+        shape = x[0].rows[0].shape
+        kc = RV([jnp.full(shape, np.uint32(l)) for l in self.b3_k], 1)
+        a0 = x[0]
+        while not fq._cap_ok(a0.k, 1):
+            a0 = fq._reduce_once(a0)
+        ka0 = RV(_mul_rows(a0.rows, kc.rows, fq.n, fq.p, fq.npr), 2)
+        t3 = fq.smul(x[1], 3)
         return (t3, ka0)
 
     def mul_b3_pair(self, x, y):
         return self.mul_b3(x), self.mul_b3(y)
 
     def select(self, c, a, b):
-        return (_select_rows(c, a[0], b[0]), _select_rows(c, a[1], b[1]))
+        return (self.fq.select(c, a[0], b[0]), self.fq.select(c, a[1], b[1]))
 
 
 # ---------------------------------------------------------------------------
@@ -244,33 +338,46 @@ def _point_rows(ref, ncomp, n, coord, comp=0):
     return [ref[base + k] for k in range(n)]
 
 
-def _read_point(ref, ncomp, n):
+def _read_point(ref, ncomp, n, k=1):
+    """HBM/VMEM packed point -> RV coordinates (canonical inputs: k=1)."""
     if ncomp == 1:
-        return tuple(_point_rows(ref, 1, n, c) for c in range(3))
+        return tuple(RV(_point_rows(ref, 1, n, c), k) for c in range(3))
     return tuple(
-        (_point_rows(ref, 2, n, c, 0), _point_rows(ref, 2, n, c, 1))
+        (
+            RV(_point_rows(ref, 2, n, c, 0), k),
+            RV(_point_rows(ref, 2, n, c, 1), k),
+        )
         for c in range(3)
     )
 
 
-def _write_point(ref, pt, ncomp, n):
+def _write_point(ref, pt, ncomp, n, F):
+    """Reduce coordinates to canonical (< p) and write: packed arrays in
+    HBM stay bit-identical to the strict-reduction path."""
     for c in range(3):
         if ncomp == 1:
+            rows = F.finalize(pt[c])
             for k in range(n):
-                ref[c * n + k] = pt[c][k]
+                ref[c * n + k] = rows[k]
         else:
             for comp in range(2):
+                rows = F.fq.finalize(pt[c][comp])
                 for k in range(n):
-                    ref[(c * 2 + comp) * n + k] = pt[c][comp][k]
+                    ref[(c * 2 + comp) * n + k] = rows[k]
+
+
+def _clamp_point(F, pt):
+    """Normalize all coordinate bounds to F.K_CARRY (loop-carry typing)."""
+    return tuple(F.clamp(c) for c in pt)
 
 
 def _ident_point(shape, ncomp, r_mod_p_limbs):
-    z = [jnp.zeros(shape, jnp.uint32) for _ in range(len(r_mod_p_limbs))]
-    one = [jnp.full(shape, np.uint32(l)) for l in r_mod_p_limbs]
+    nl = len(r_mod_p_limbs)
+    z = lambda: RV([jnp.zeros(shape, jnp.uint32) for _ in range(nl)], 1)
+    one = RV([jnp.full(shape, np.uint32(l)) for l in r_mod_p_limbs], 1)
     if ncomp == 1:
-        return (list(z), one, list(z))
-    zz = lambda: [jnp.zeros(shape, jnp.uint32) for _ in range(len(r_mod_p_limbs))]
-    return ((zz(), zz()), (one, zz()), (zz(), zz()))
+        return (z(), one, z())
+    return ((z(), z()), (one, z()), (z(), z()))
 
 
 def _make_ops(modulus: int, n: int, ncomp: int, b3_k: int | None):
@@ -301,7 +408,7 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
             s = jc._complete_add(F, acc, pts)
             m = mask_ref[0] != 0
             out = tuple(F.select(m, s[c], acc[c]) for c in range(3))
-            _write_point(o_ref, out, ncomp, n)
+            _write_point(o_ref, out, ncomp, n, F)
 
         in_specs = [pt_spec(), pt_spec(), mask_spec()]
         n_out = 1
@@ -310,7 +417,7 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
         def kernel(a_ref, b_ref, o_ref):
             a = _read_point(a_ref, ncomp, n)
             b = _read_point(b_ref, ncomp, n)
-            _write_point(o_ref, jc._complete_add(F, a, b), ncomp, n)
+            _write_point(o_ref, jc._complete_add(F, a, b), ncomp, n, F)
 
         in_specs = [pt_spec(), pt_spec()]
         n_out = 1
@@ -322,8 +429,8 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
             s = jc._complete_add(F, acc, base)
             m = mask_ref[0] != 0
             out = tuple(F.select(m, s[c], acc[c]) for c in range(3))
-            _write_point(oa_ref, out, ncomp, n)
-            _write_point(ob_ref, jc._complete_double(F, base), ncomp, n)
+            _write_point(oa_ref, out, ncomp, n, F)
+            _write_point(ob_ref, jc._complete_double(F, base), ncomp, n, F)
 
         in_specs = [pt_spec(), pt_spec(), mask_spec()]
         n_out = 2
@@ -335,8 +442,8 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
             bl = _read_point(bl_ref, ncomp, n)
             run2 = jc._complete_add(F, run, bl)
             tot2 = jc._complete_add(F, tot, run2)
-            _write_point(or_ref, run2, ncomp, n)
-            _write_point(ot_ref, tot2, ncomp, n)
+            _write_point(or_ref, run2, ncomp, n, F)
+            _write_point(ot_ref, tot2, ncomp, n, F)
 
         in_specs = [pt_spec(), pt_spec(), pt_spec()]
         n_out = 2
@@ -346,8 +453,8 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
             run = _read_point(run_ref, ncomp, n)
             tot = _read_point(tot_ref, ncomp, n)
             bl = _read_point(bl_ref, ncomp, n)
-            _write_point(or_ref, jc._complete_add(F, run, bl), ncomp, n)
-            _write_point(ot_ref, jc._complete_add(F, tot, run), ncomp, n)
+            _write_point(or_ref, jc._complete_add(F, run, bl), ncomp, n, F)
+            _write_point(ot_ref, jc._complete_add(F, tot, run), ncomp, n, F)
 
         in_specs = [pt_spec(), pt_spec(), pt_spec()]
         n_out = 2
@@ -380,7 +487,11 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
                 )
 
             get_dma(0, 0).start()
-            acc0 = _ident_point((tn,), ncomp, r_mod_p)
+            # The loop-carried accumulator keeps the lazy bound K_CARRY:
+            # every iteration's complete-add output lands exactly there,
+            # so NO conditional subtracts run inside the loop at all —
+            # one boundary reduction per tile after the loop.
+            acc0 = _clamp_point(F, _ident_point((tn,), ncomp, r_mod_p))
 
             def body(t, acc):
                 slot = t % 2
@@ -393,10 +504,11 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
                 pts = _read_point(buf.at[slot], ncomp, n)
                 s = jc._complete_add(F, acc, pts)
                 m = jnp.broadcast_to(t < counts_ref[0], (tn,))
-                return tuple(F.select(m, s[c], acc[c]) for c in range(3))
+                out = tuple(F.select(m, s[c], acc[c]) for c in range(3))
+                return _clamp_point(F, out)
 
             acc = jax.lax.fori_loop(0, T, body, acc0)
-            _write_point(o_ref, acc, ncomp, n)
+            _write_point(o_ref, acc, ncomp, n, F)
 
         @jax.jit
         def bucket_call(tlen, counts8, runs):
@@ -412,7 +524,7 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
                 in_specs=[
                     pl.BlockSpec((8, tn), lambda j, *_: (0, j),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_specs=pl.BlockSpec((rows, tn), lambda j, *_: (0, j),
                                        memory_space=pltpu.VMEM),

@@ -83,10 +83,15 @@ _BLOCK_MUL = _os.environ.get("TESTUDO_BLOCK_MUL", "1") == "1"
 _BLOCK_MAX_L = 8192
 
 
-def _mont_mul_rows(at, bt, n, p_limbs, npr_limbs):
+def _mont_mul_rows(at, bt, n, p_limbs, npr_limbs, lazy=False):
+    """lazy=True skips the final conditional subtract and returns the raw
+    Montgomery quotient S/R, which is < 2p whenever the inputs satisfy
+    bound(a)*bound(b)*p <= R (the caller tracks bounds — pallas_curve's
+    lazy-reduction row ops).  With canonical inputs (< p) the non-lazy
+    form returns the fully reduced (< p) result as before."""
     if _BLOCK_MUL and at.shape[-1] <= _BLOCK_MAX_L:
-        return _mont_mul_rows_block(at, bt, n, p_limbs, npr_limbs)
-    return _mont_mul_rows_list(at, bt, n, p_limbs, npr_limbs)
+        return _mont_mul_rows_block(at, bt, n, p_limbs, npr_limbs, lazy)
+    return _mont_mul_rows_list(at, bt, n, p_limbs, npr_limbs, lazy)
 
 
 def _splat_rows(limbs, L):
@@ -97,7 +102,7 @@ def _splat_rows(limbs, L):
     )
 
 
-def _mont_mul_rows_block(at, bt, n, p_limbs, npr_limbs):
+def _mont_mul_rows_block(at, bt, n, p_limbs, npr_limbs, lazy=False):
     """Block-structured Montgomery product: at, bt (n, L) -> n rows (L,).
 
     Same math as _mont_mul_rows_list (full product, m = T*N' mod R,
@@ -140,13 +145,17 @@ def _mont_mul_rows_block(at, bt, n, p_limbs, npr_limbs):
         accu = shift_add(accu, pr >> LIMB_BITS, i + 1)
     S_rows = [T[k] + accu[k] for k in range(2 * n)]
     S_rows.append(t_carry + accu[2 * n])
+    if lazy:
+        # S < 2Rp < 2^(16*(2n+1)) when bounds hold: rows above 2n-1 are 0
+        S, _ = _carry_ripple_rows(S_rows, 2 * n)
+        return S[n : 2 * n]
     S, s_carry = _carry_ripple_rows(S_rows, 2 * n + 1)
     res = S[n : 2 * n]
     hi_extra = S[2 * n] + s_carry
     return _cond_sub_p_rows(res, hi_extra, p_limbs)
 
 
-def _mont_mul_rows_list(at, bt, n, p_limbs, npr_limbs):
+def _mont_mul_rows_list(at, bt, n, p_limbs, npr_limbs, lazy=False):
     """Transposed-tile Montgomery product: at, bt (n, TN) -> n rows (TN,).
 
     Mirrors field.mont_mul's math (full product, m = T*N' mod R, S = T+m*p,
@@ -194,6 +203,9 @@ def _mont_mul_rows_list(at, bt, n, p_limbs, npr_limbs):
             u_hi[k + 1] = u_hi[k + 1] + (pr >> LIMB_BITS)
     S_rows = [T[k] + u_lo[k] + u_hi[k] for k in range(2 * n)]
     S_rows.append(t_carry)
+    if lazy:
+        S, _ = _carry_ripple_rows(S_rows, 2 * n)
+        return S[n : 2 * n]
     S, s_carry = _carry_ripple_rows(S_rows, 2 * n + 1)
     res = S[n : 2 * n]
     hi_extra = S[2 * n] + s_carry
