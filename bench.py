@@ -30,7 +30,9 @@ def log(*a):
 
 
 def gen_points(n_unique: int, N: int):
-    """Generate N points: n_unique ladder-multiples of G, tiled to N."""
+    """Generate N points: n_unique ladder-multiples of G, normalized to
+    affine and tiled to N.  Affine bases match the reference MSM contract
+    (ark-ec VariableBaseMSM takes &[Affine]) and enable mixed bucket adds."""
     import jax.numpy as jnp
 
     from testudo_tpu.curves import host_curve as hc
@@ -43,6 +45,7 @@ def gen_points(n_unique: int, N: int):
     G = pcu.G1P
     g = jc.g1_from_affine_host([hc.g1_generator()] * n_unique)
     pts = G.unpack(G.ladder(G.pack(g), jnp.asarray(scal).T))
+    pts = jc.g1_from_affine_host(jc.g1_to_affine_host(pts))
     reps = N // n_unique
     import jax
 
@@ -68,7 +71,7 @@ def run_msm_bench(N: int):
     ks = [prng.randrange(1, R) for _ in range(32)]
     small_pts = [hc.g1_mul(hc.g1_generator(), k) for k in ks]
     small_scl = [prng.randrange(R) for _ in range(32)]
-    got = msm.msm_g1(jc.g1_from_affine_host(small_pts), small_scl)
+    got = msm.msm_g1(jc.g1_from_affine_host(small_pts), small_scl, affine=True)
     assert got == hc.g1_msm(small_pts, small_scl), "device MSM disagrees with host"
     log(f"correctness guard ok ({time.time()-t0:.1f}s)")
 
@@ -84,12 +87,12 @@ def run_msm_bench(N: int):
 
     # one cold call (compiles everything), then timed warm calls
     t0 = time.time()
-    msm.msm_g1(pts, scal_dev)
+    msm.msm_g1(pts, scal_dev, affine=True)
     log(f"cold full msm_g1: {time.time()-t0:.1f}s")
     times = []
     for _ in range(3):
         t0 = time.time()
-        msm.msm_g1(pts, scal_dev)
+        msm.msm_g1(pts, scal_dev, affine=True)
         times.append(time.time() - t0)
     per = sorted(times)[len(times) // 2]
     log(f"warm full msm_g1 times: {[f'{t:.3f}' for t in times]} -> median {per:.3f}s")

@@ -344,3 +344,49 @@ def test_scalar_mul_batch_packed():
     out = jc.g1_to_affine_host(got)
     for i in range(n):
         assert out[i] == hc.g1_mul(pts_h[i], k)
+
+
+def test_bucket_phase_mixed_kernel():
+    """Mixed-add bucket phase (affine streamed points, Alg 8) must match
+    the general kernel's semantics, including the doubling and
+    identity-accumulator cases (completeness in P1)."""
+    pts_h = _rand_g1(4)
+    dev = jc.g1_from_affine_host(pts_h)
+    packed = pcu.G1P.pack(dev)  # (rows, 4), Z = mont(1)
+    # lanes: [P0+P1, P2+P2 (doubling), P3 only, masked]
+    runs = jnp.stack(
+        [
+            jnp.concatenate(
+                [packed[:, 0:1], packed[:, 2:3], packed[:, 3:4], packed[:, 0:1]],
+                axis=1,
+            ),
+            jnp.concatenate(
+                [packed[:, 1:2], packed[:, 2:3], packed[:, 0:1], packed[:, 1:2]],
+                axis=1,
+            ),
+        ],
+        axis=0,
+    )  # (2, rows, 4)
+    counts = jnp.asarray([2, 2, 1, 0], jnp.int32)
+    out = jc.g1_to_affine_host(
+        pcu.G1P.unpack(pcu.G1P.bucket_phase(runs, counts, mixed=True))
+    )
+    assert out[0] == hc.g1_add(pts_h[0], pts_h[1])
+    assert out[1] == hc.g1_add(pts_h[2], pts_h[2])  # doubling case
+    assert out[2] == pts_h[3]
+    assert out[3] is None  # fully masked -> identity
+
+
+def test_msm_packed_signed_affine_vs_host(monkeypatch):
+    """Signed packed Pippenger with affine=True (mixed bucket adds) vs
+    host MSM — the production path for SRS/affine bases."""
+    monkeypatch.setenv("TESTUDO_MSM_C", "4")
+    n = 68
+    pts_h = _rand_g1(n)
+    scalars = [0, 1, R - 1, 2] + [_rand_fr() for _ in range(n - 4)]
+    dev = jc.g1_from_affine_host(pts_h)
+    scal = _scal_limbs(scalars)
+    got = jc.g1_to_affine_host(
+        msm._msm_packed("g1", dev, scal, None, affine=True)
+    )[0]
+    assert got == hc.g1_msm(pts_h, scalars)

@@ -68,5 +68,5 @@ def commit_slice_dev(scalars_canon, blind: int, gens_n: MultiCommitGens):
 
     scalars_canon: (n, 16) canonical-form device limbs.
     """
-    base = msm.msm_g1(gens_n.dev(), scalars_canon)
+    base = msm.msm_g1(gens_n.dev(), scalars_canon, affine=True)
     return hc.g1_add(base, hc.g1_mul(gens_n.h, blind % R))

@@ -144,7 +144,7 @@ def bullet_verify(
 ):
     """bullet.rs:224-260.  Returns (g_hat, Gamma_hat, a_hat)."""
     u_sq, u_inv_sq, s = bullet_verification_scalars(proof, n, transcript)
-    g_hat = msm.msm_g1(Gs_dev, s)
+    g_hat = msm.msm_g1(Gs_dev, s, affine=True)
     a_hat = 0
     for x, y in zip(a, s):
         a_hat = (a_hat + x * y) % R

@@ -129,7 +129,7 @@ def cyclic_join(t: jnp.ndarray) -> jnp.ndarray:
 
 
 def sharded_msm(mesh: Mesh, group: str, points, scalars_canon: jnp.ndarray,
-                c: Optional[int] = None):
+                c: Optional[int] = None, affine: bool = False):
     """DP MSM over the mesh: each device runs the full single-chip
     pipeline (fused Pallas kernels on TPU) on its batch shard; partial
     results combine with D-1 host group additions.  Returns host affine.
@@ -172,7 +172,7 @@ def sharded_msm(mesh: Mesh, group: str, points, scalars_canon: jnp.ndarray,
                 sl = slice(d * shard, (d + 1) * shard)
                 pts_d = tree_map(lambda a: jax.device_put(a[sl], dev), points)
                 scal_d = jax.device_put(scalars_canon[sl], dev)
-                pipes.append(msm.msm_pipeline(group, pts_d, scal_d, c))
+                pipes.append(msm.msm_pipeline(group, pts_d, scal_d, c, affine))
             # Drive all pipelines round-robin: stage k is DISPATCHED on
             # every device before any device's stage-(k+1) host sync, so
             # the D shards' kernels overlap instead of serializing on the

@@ -214,6 +214,43 @@ def _complete_add(F, p1, p2):
     return (X3, Y3, Z3)
 
 
+def _complete_add_mixed(F, p1, p2):
+    """RCB16 Algorithm 8 (a = 0, Z2 = 1): complete mixed addition.
+
+    p2 = (X2, Y2) is affine (coordinates in the Montgomery lift, i.e. the
+    projective Z2 is implicitly mont(1)).  Complete for ANY p1 — identity,
+    p1 = +-p2 — but p2 must not be the identity (callers mask such lanes).
+    One fewer field mul than Algorithm 7 and about half the adds; used by
+    the MSM bucket phase when the bases are affine (the reference's
+    VariableBaseMSM likewise takes &[Affine] bases)."""
+    X1, Y1, Z1 = p1
+    X2, Y2 = p2
+    t0, t1, m3, m4, m5 = F.mul_many(
+        [
+            (X1, X2),
+            (Y1, Y2),
+            (F.add(X1, Y1), F.add(X2, Y2)),
+            (Y2, Z1),
+            (X2, Z1),
+        ]
+    )
+    t3 = F.sub(m3, F.add(t0, t1))
+    t4 = F.add(m4, Y1)
+    Y3 = F.add(m5, X1)
+    X3 = F.add(t0, t0)
+    t0 = F.add(X3, t0)
+    t2b, Y3b = F.mul_b3_pair(Z1, Y3)
+    Z3 = F.add(t1, t2b)
+    t1 = F.sub(t1, t2b)
+    a1, a2, a3, a4, a5, a6 = F.mul_many(
+        [(t4, Y3b), (t3, t1), (Y3b, t0), (t1, Z3), (t0, t3), (Z3, t4)]
+    )
+    X3 = F.sub(a2, a1)
+    Y3 = F.add(a4, a3)
+    Z3 = F.add(a6, a5)
+    return (X3, Y3, Z3)
+
+
 def _complete_double(F, p):
     """RCB16 Algorithm 9 (a = 0): complete projective doubling, staged."""
     X, Y, Z = p

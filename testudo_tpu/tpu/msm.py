@@ -595,10 +595,10 @@ def _plan_lanes(T_cap: int, rows: int, L: int, s_pad: int):
     return -(-need // lc) * lc, lc
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7, 8))
+@partial(jax.jit, static_argnums=(0, 6, 7, 8, 9))
 def _msm_seg_buckets(
     group_name, ptcat, order_flat, wnd, seg_start, seg_count, T_cap: int,
-    lc: int, n_sorted: int | None = None,
+    lc: int, n_sorted: int | None = None, mixed: bool = False,
 ):
     """Segment-lane bucket accumulation: gather run-aligned points for each
     segment lane and run the fused bucket kernel, in lane chunks of `lc`
@@ -622,7 +622,7 @@ def _msm_seg_buckets(
         idx = order_flat[(wnd_c[None, :] * N + pos).reshape(-1)]
         entries = ptcat[idx]  # (T_cap*lc, rows) row gather
         runs = entries.reshape(T_cap, lc, Gp.rows).transpose(0, 2, 1)
-        return Gp.bucket_phase(runs, count_c, tlen)
+        return Gp.bucket_phase(runs, count_c, tlen, mixed=mixed)
 
     if lc >= L_pad:
         return chunk((wnd, seg_start, seg_count))
@@ -752,11 +752,12 @@ def _cat_points(group_name, points):
 _SIGNED_C = 13  # default signed window width (W = 20 for 253-bit Fr)
 
 
-def _msm_packed(group_name, points, scal: jnp.ndarray, c: int | None):
+def _msm_packed(group_name, points, scal: jnp.ndarray, c: int | None,
+                affine: bool = False):
     """Packed-kernel Pippenger.  c=None (the protocol default) uses signed
     c=13 windows — 20 windows instead of 32 at c=8, i.e. 1.6x fewer
     bucket adds; an explicit c keeps the legacy unsigned plan."""
-    return _drive_one(_msm_packed_gen(group_name, points, scal, c))
+    return _drive_one(_msm_packed_gen(group_name, points, scal, c, affine))
 
 
 def _drive_one(gen):
@@ -768,8 +769,15 @@ def _drive_one(gen):
             return stop.value
 
 
-def _msm_packed_gen(group_name, points, scal: jnp.ndarray, c: int | None):
+def _msm_packed_gen(group_name, points, scal: jnp.ndarray, c: int | None,
+                    affine: bool = False):
     """Generator form of the packed Pippenger pipeline.
+
+    affine=True asserts every input point has Z = mont(1) (fresh lifts of
+    affine bases, the reference VariableBaseMSM contract): the bucket
+    phase then runs complete MIXED adds (Alg 8, one fewer mul and half
+    the adds per step).  The [P, -P] signed table only negates Y, so it
+    preserves the property.
 
     Yields at the two host-sync boundaries (after the digit-count dispatch,
     and after the heavy kernels are dispatched) so a multi-device caller
@@ -823,6 +831,7 @@ def _msm_packed_gen(group_name, points, scal: jnp.ndarray, c: int | None):
         T_cap,
         lc,
         N,
+        affine,
     )
     buckets = _seg_reduce(
         group_name,
@@ -1163,7 +1172,8 @@ def _mesh_for_batch(n: int):
     return mesh
 
 
-def msm_pipeline(group_name, points, scal: jnp.ndarray, c: int | None = None):
+def msm_pipeline(group_name, points, scal: jnp.ndarray, c: int | None = None,
+                 affine: bool = False):
     """Single-device MSM as a resumable pipeline (generator).
 
     Yields at host-sync boundaries; the generator's return value is the
@@ -1184,7 +1194,7 @@ def msm_pipeline(group_name, points, scal: jnp.ndarray, c: int | None = None):
     points, scal = _pad_pow2(points, scal)
     if _use_packed():
         # c=None -> signed-window default inside _msm_packed_gen
-        res = yield from _msm_packed_gen(group_name, points, scal, c)
+        res = yield from _msm_packed_gen(group_name, points, scal, c, affine)
         return to_aff(res)[0]
     if c is None:
         c = _pick_window(scal.shape[0])
@@ -1193,30 +1203,35 @@ def msm_pipeline(group_name, points, scal: jnp.ndarray, c: int | None = None):
     return _combine_windows_host(windows, c, group_name)
 
 
-def msm_g1(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
+def msm_g1(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None,
+           affine: bool = False):
     """MSM over G1: device projective point pytree x scalars -> host affine.
 
     `scalars` are host ints or canonical-form (non-Montgomery) Fr limbs.
-    With an ambient mesh (parallel.mesh.use_mesh) the batch shards across
-    devices (result-level DP, see parallel/mesh.py).
+    `affine=True` asserts every point has Z = mont(1) (a fresh lift of
+    affine bases — the reference VariableBaseMSM contract) and enables
+    mixed adds in the bucket phase.  With an ambient mesh
+    (parallel.mesh.use_mesh) the batch shards across devices
+    (result-level DP, see parallel/mesh.py).
     """
     scal = _prep_scalars(scalars)
     mesh = _mesh_for_batch(scal.shape[0])
     if mesh is not None:
         from ..parallel import mesh as pmesh
 
-        return pmesh.sharded_msm(mesh, "g1", points, scal, c)
-    return _drive_one(msm_pipeline("g1", points, scal, c))
+        return pmesh.sharded_msm(mesh, "g1", points, scal, c, affine)
+    return _drive_one(msm_pipeline("g1", points, scal, c, affine))
 
 
-def msm_g2(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None):
+def msm_g2(points, scalars: Sequence[int] | jnp.ndarray, c: int | None = None,
+           affine: bool = False):
     scal = _prep_scalars(scalars)
     mesh = _mesh_for_batch(scal.shape[0])
     if mesh is not None:
         from ..parallel import mesh as pmesh
 
-        return pmesh.sharded_msm(mesh, "g2", points, scal, c)
-    return _drive_one(msm_pipeline("g2", points, scal, c))
+        return pmesh.sharded_msm(mesh, "g2", points, scal, c, affine)
+    return _drive_one(msm_pipeline("g2", points, scal, c, affine))
 
 
 # ---------------------------------------------------------------------------

@@ -458,7 +458,7 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
 
         in_specs = [pt_spec(), pt_spec(), pt_spec()]
         n_out = 2
-    elif op == "bucket":
+    elif op in ("bucket", "bucket_mixed"):
         # Whole bucket-accumulation phase in ONE pallas_call: for every
         # bucket lane, sequentially add its run-aligned points (step t adds
         # point t where t < counts[lane]).  The true step count arrives as
@@ -466,6 +466,10 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
         # in with double-buffered DMA — so ONE compiled executable serves
         # every run length (the T axis is only padded in memory, never in
         # compute).  Accumulators live in registers/VMEM for the whole loop.
+        # "bucket_mixed": the streamed points are affine (Z = mont(1)),
+        # so each step runs the cheaper complete mixed add (Alg 8); the
+        # caller guarantees no identity point is ever UNMASKED in a run.
+        mixed = op == "bucket_mixed"
         r_mod_p = _limbs_of((1 << (LIMB_BITS * n)) % modulus, n)
 
         def kernel(tlen_ref, counts_ref, runs_hbm, o_ref, buf, sem):
@@ -502,7 +506,10 @@ def _ec_call(op: str, modulus: int, n: int, ncomp: int, b3_k, tn: int, nscal: in
 
                 get_dma(slot, t).wait()
                 pts = _read_point(buf.at[slot], ncomp, n)
-                s = jc._complete_add(F, acc, pts)
+                if mixed:
+                    s = jc._complete_add_mixed(F, acc, (pts[0], pts[1]))
+                else:
+                    s = jc._complete_add(F, acc, pts)
                 m = jnp.broadcast_to(t < counts_ref[0], (tn,))
                 out = tuple(F.select(m, s[c], acc[c]) for c in range(3))
                 return _clamp_point(F, out)
@@ -681,10 +688,12 @@ class PackedGroup:
         reliably crashes Mosaic's layout inference on 1-D loop carries)."""
         return _ladder_chain(self.name, pts, scal_rows)
 
-    def bucket_phase(self, runs, counts, tlen=None):
+    def bucket_phase(self, runs, counts, tlen=None, mixed=False):
         """runs (T_pad, rows, L) run-aligned points + counts (L,) ->
         (rows, L) per-bucket-lane sums.  One pallas_call; `tlen` (i32 (1,))
-        bounds the actual step count so the padded T axis costs nothing."""
+        bounds the actual step count so the padded T axis costs nothing.
+        mixed=True: streamed points are affine (Z = mont(1)) and the
+        kernel runs the cheaper complete mixed add (Z rows ignored)."""
         T, _, L = runs.shape
         # DMA lane slices must be 128-aligned (Mosaic memref_slice rule),
         # so the bucket tile is always a multiple of 128; the call wrapper
@@ -694,7 +703,7 @@ class PackedGroup:
         # 16 MB scoped-vmem limit at tile 1024 — halve the tile for it.
         tn_max = _TN if self.ncomp == 1 else _TN // 2
         tn = min(tn_max, -(-L // 128) * 128)
-        call = _ec_call("bucket", *self._key(), tn)
+        call = _ec_call("bucket_mixed" if mixed else "bucket", *self._key(), tn)
         counts8 = jnp.broadcast_to(
             counts[None, :].astype(jnp.int32), (8, counts.shape[0])
         )
