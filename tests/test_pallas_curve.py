@@ -390,3 +390,32 @@ def test_msm_packed_signed_affine_vs_host(monkeypatch):
         msm._msm_packed("g1", dev, scal, None, affine=True)
     )[0]
     assert got == hc.g1_msm(pts_h, scalars)
+
+
+def test_bucket_phase_kernel_g2():
+    """G2 bucket kernel under lazy bounds (Fq2 K_CARRY loop carry),
+    general and mixed variants, incl. doubling and masked lanes."""
+    pts_h = _rand_g2(4)
+    packed = pcu.G2P.pack(jc.g2_from_affine_host(pts_h))
+    runs = jnp.stack(
+        [
+            jnp.concatenate(
+                [packed[:, 0:1], packed[:, 2:3], packed[:, 3:4], packed[:, 0:1]],
+                axis=1,
+            ),
+            jnp.concatenate(
+                [packed[:, 1:2], packed[:, 2:3], packed[:, 0:1], packed[:, 1:2]],
+                axis=1,
+            ),
+        ],
+        axis=0,
+    )
+    counts = jnp.asarray([2, 2, 1, 0], jnp.int32)
+    for mixed in (False, True):
+        out = jc.g2_to_affine_host(
+            pcu.G2P.unpack(pcu.G2P.bucket_phase(runs, counts, mixed=mixed))
+        )
+        assert out[0] == hc.g2_add(pts_h[0], pts_h[1])
+        assert out[1] == hc.g2_add(pts_h[2], pts_h[2])
+        assert out[2] == pts_h[3]
+        assert out[3] is None
