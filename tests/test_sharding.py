@@ -26,6 +26,19 @@ pytestmark = pytest.mark.slow  # compile-heavy: CI slow tier
 rng = random.Random(31)
 
 
+@pytest.fixture(autouse=True)
+def _xla_msm_path(monkeypatch):
+    """These tests validate MESH semantics through the XLA MSM path on
+    the virtual CPU devices.  On hosts where an ambient TPU plugin
+    ignores JAX_PLATFORMS=cpu (the axon tunnel), default_backend() says
+    'tpu' while these arrays live on the CPU platform — the packed pltpu
+    kernels cannot lower there, so pin the XLA path (the packed kernels
+    are covered on the default backend by test_pallas_curve.py; the
+    driver dryrun pins the same flags, __graft_entry__.py)."""
+    monkeypatch.setenv("TESTUDO_PACKED", "0")
+    monkeypatch.setenv("TESTUDO_PALLAS", "0")
+
+
 @pytest.fixture(scope="module")
 def cpu_mesh():
     cpus = [d for d in jax.devices("cpu")]
