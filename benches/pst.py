@@ -28,6 +28,17 @@ def main():
     from testudo_tpu.fields.bls12_377 import R
 
     rng = random.Random(0)
+
+    def flush_rows(rows):
+        # Incremental write so a completed size survives a later failure.
+        with open("sqrt_pst.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(
+                ["num_vars", "commit_time", "opening_time",
+                 "verification_time", "proof_size", "commiter_key_size"]
+            )
+            w.writerows(rows)
+
     rows = []
     for nv in nvs:
         m_row = nv // 2 + (nv % 2)
@@ -69,19 +80,14 @@ def main():
             proofs.ser_mipp(mipp_proof)
         )
         rows.append([nv, commit_ms, open_ms, verify_ms, proof_size, ck_size])
+        flush_rows(rows)
         print(
             f"nv=2^{nv}: commit {commit_ms:.0f}ms open {open_ms:.0f}ms "
             f"verify {verify_ms:.0f}ms proof {proof_size}B ck {ck_size}B",
             flush=True,
         )
 
-    with open("sqrt_pst.csv", "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(
-            ["num_vars", "commit_time", "opening_time", "verification_time",
-             "proof_size", "commiter_key_size"]
-        )
-        w.writerows(rows)
+    flush_rows(rows)
     print("wrote sqrt_pst.csv")
 
 
